@@ -1,0 +1,132 @@
+"""Convolution wrappers (NHWC) as flax.linen modules.
+
+Parity with reference `mcquic/nn/convs.py` (conv3x3/conv1x1/conv5x5,
+pixelShuffle{1x1,3x3,5x5}, MaskedConv2d) but laid out channels-last for TPU:
+NHWC activations + HWIO kernels map directly onto MXU-tiled XLA convolutions.
+"""
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mcquic_tpu.nn.functional import pixelShuffle, pixelUnshuffle
+
+Dtype = Any
+
+
+class Conv(nn.Module):
+    """kxk conv with 'same'-style pre-computed padding (reference convs.py:77-123)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    useBias: bool = True
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.useBias,
+            feature_group_count=self.groups,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def conv3x3(features: int, stride: int = 1, bias: bool = True, groups: int = 1, dtype=jnp.float32) -> Conv:
+    return Conv(features=features, kernel=3, stride=stride, useBias=bias, groups=groups, dtype=dtype)
+
+
+def conv5x5(features: int, stride: int = 1, bias: bool = True, groups: int = 1, dtype=jnp.float32) -> Conv:
+    return Conv(features=features, kernel=5, stride=stride, useBias=bias, groups=groups, dtype=dtype)
+
+
+def conv1x1(features: int, stride: int = 1, bias: bool = True, groups: int = 1, dtype=jnp.float32) -> Conv:
+    return Conv(features=features, kernel=1, stride=stride, useBias=bias, groups=groups, dtype=dtype)
+
+
+class PixelShuffleConv(nn.Module):
+    """conv(k) + pixel shuffle up/down-sampling (reference convs.py:151-255).
+
+    `rate > 1`: conv to features*r^2 then shuffle up.
+    `rate < 1`: conv to features/r^2 then unshuffle down (r = 1/rate).
+    """
+    features: int
+    kernel: int = 3
+    rate: float = 1
+    groups: int = 1
+    useBias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2
+        if self.rate < 1:
+            r = int(round(1 / self.rate))
+            y = nn.Conv(self.features // (r * r), (self.kernel, self.kernel),
+                        padding=((pad, pad), (pad, pad)), use_bias=self.useBias,
+                        feature_group_count=self.groups, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            return pixelUnshuffle(y, r)
+        r = int(self.rate)
+        y = nn.Conv(self.features * r * r, (self.kernel, self.kernel),
+                    padding=((pad, pad), (pad, pad)), use_bias=self.useBias,
+                    feature_group_count=self.groups, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if r == 1:
+            return y
+        return pixelShuffle(y, r)
+
+
+def pixelShuffle3x3(features: int, rate: float = 1, groups: int = 1, dtype=jnp.float32) -> PixelShuffleConv:
+    return PixelShuffleConv(features=features, kernel=3, rate=rate, groups=groups, dtype=dtype)
+
+
+def pixelShuffle5x5(features: int, rate: float = 1, groups: int = 1, dtype=jnp.float32) -> PixelShuffleConv:
+    return PixelShuffleConv(features=features, kernel=5, rate=rate, groups=groups, dtype=dtype)
+
+
+def pixelShuffle1x1(features: int, rate: float = 1, groups: int = 1, dtype=jnp.float32) -> PixelShuffleConv:
+    return PixelShuffleConv(features=features, kernel=1, rate=rate, groups=groups, dtype=dtype)
+
+
+class MaskedConv(nn.Module):
+    """PixelCNN-style masked conv (reference convs.py:33-75), NHWC.
+
+    maskType 'A' masks the center pixel too; 'B' allows it. The mask is a
+    trace-time constant multiplied into the kernel on every call, so masked
+    taps can never leak through optimizer updates (the reference re-multiplies
+    the weight each forward, convs.py:72-75).
+    """
+    features: int
+    kernel: int = 5
+    maskType: str = "A"
+    useBias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.maskType not in ("A", "B"):
+            raise ValueError(f"Invalid maskType {self.maskType!r}")
+        kh = kw = self.kernel
+        inC = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(), (kh, kw, inC, self.features), jnp.float32)
+        # Zero taps strictly after the center row; in the center row, zero taps
+        # after (B) / at-and-after (A) the center column.
+        mask = jnp.ones((kh, kw, 1, 1), jnp.float32)
+        center = kh // 2
+        mask = mask.at[center, center + (1 if self.maskType == "B" else 0):].set(0.0)
+        mask = mask.at[center + 1:].set(0.0)
+        w = (w * mask).astype(self.dtype)
+        import jax.lax as lax
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), w, window_strides=(1, 1),
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.useBias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y

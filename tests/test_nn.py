@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcquic_tpu.nn import (AttentionBlock, GenDivNorm, InvGenDivNorm, MaskedConv,
+                           NonLocalBlock, ResidualBlock, ResidualBlockShuffle,
+                           ResidualBlockWithStride, gumbelSoftmax, lowerBound,
+                           nonNegativeApply, nonNegativeInit, pixelShuffle, pixelUnshuffle)
+
+
+def test_lower_bound_forward_and_grad():
+    x = jnp.array([-1.0, 0.5, 2.0])
+    b = jnp.array(1.0)
+    y = lowerBound(x, b)
+    np.testing.assert_allclose(y, [1.0, 1.0, 2.0])
+
+    # Positive upstream grad: blocked below bound.
+    g = jax.grad(lambda x: jnp.sum(lowerBound(x, b)))(x)
+    np.testing.assert_allclose(g, [0.0, 0.0, 1.0])
+    # Negative upstream grad: passes everywhere (lets x escape the bound).
+    g = jax.grad(lambda x: jnp.sum(-lowerBound(x, b)))(x)
+    np.testing.assert_allclose(g, [-1.0, -1.0, -1.0])
+
+
+def test_nonnegative_roundtrip():
+    target = jnp.array([0.1, 1.0, 3.0])
+    reparam = nonNegativeInit(target)
+    recovered = nonNegativeApply(reparam)
+    np.testing.assert_allclose(recovered, target, atol=1e-5)
+
+
+def test_pixel_shuffle_roundtrip():
+    x = jnp.arange(2 * 3 * 4 * 8, dtype=jnp.float32).reshape(2, 3, 4, 8)
+    up = pixelShuffle(x, 2)
+    assert up.shape == (2, 6, 8, 2)
+    back = pixelUnshuffle(up, 2)
+    np.testing.assert_allclose(back, x)
+
+
+def test_gumbel_softmax_hard_is_onehot():
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (4, 7))
+    y = gumbelSoftmax(key, logits, 1.0, hard=True)
+    np.testing.assert_allclose(jnp.sum(y, -1), jnp.ones(4), atol=1e-6)
+    assert jnp.all((y == 0) | (y == 1) | ((y > -1e-5) & (y < 1 + 1e-5)))
+    # Gradient flows through the soft path.
+    g = jax.grad(lambda l: jnp.sum(gumbelSoftmax(key, l, 1.0, True) ** 2))(logits)
+    assert jnp.any(g != 0)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_gdn_shapes_and_positive_scale(inverse):
+    mod = InvGenDivNorm(groups=2) if inverse else GenDivNorm(groups=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    params = mod.init(jax.random.PRNGKey(2), x)
+    y = mod.apply(params, x)
+    assert y.shape == x.shape
+    assert jnp.all(jnp.isfinite(y))
+    # GDN shrinks, IGDN amplifies (beta starts at 1, gamma small)
+    ratio = jnp.abs(y).mean() / jnp.abs(x).mean()
+    if inverse:
+        assert ratio > 0.9
+    else:
+        assert ratio < 1.1
+
+
+def test_residual_blocks_shapes():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 8))
+    rb = ResidualBlock(outChannels=12)
+    y = rb.apply(rb.init(jax.random.PRNGKey(1), x), x)
+    assert y.shape == (1, 16, 16, 12)
+
+    rbs = ResidualBlockWithStride(outChannels=8, stride=2)
+    y = rbs.apply(rbs.init(jax.random.PRNGKey(2), x), x)
+    assert y.shape == (1, 8, 8, 8)
+
+    rsh = ResidualBlockShuffle(outChannels=8, upsample=2)
+    y = rsh.apply(rsh.init(jax.random.PRNGKey(3), x), x)
+    assert y.shape == (1, 32, 32, 8)
+
+
+def test_attention_block():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 8))
+    ab = AttentionBlock()
+    y = ab.apply(ab.init(jax.random.PRNGKey(1), x), x)
+    assert y.shape == x.shape
+
+
+def test_masked_conv_causality():
+    # Output at (i,j) must not depend on inputs at raster positions >= (i,j) for mask A.
+    mc = MaskedConv(features=1, kernel=5, maskType="A")
+    x = jnp.zeros((1, 7, 7, 1))
+    params = mc.init(jax.random.PRNGKey(0), x)
+    base = mc.apply(params, x)
+    # Perturb the center pixel; outputs at the center and before must not change.
+    x2 = x.at[0, 3, 3, 0].set(10.0)
+    out = mc.apply(params, x2)
+    diff = jnp.abs(out - base)[0, :, :, 0]
+    assert diff[3, 3] == 0.0  # mask A masks the current pixel
+    assert jnp.all(diff[:3, :] == 0.0)
+    assert jnp.all(diff[3, :4] == 0.0)
+
+
+def test_nonlocal_block():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 6, 8))
+    nl = NonLocalBlock()
+    params = nl.init(jax.random.PRNGKey(1), x)
+    y = nl.apply(params, x)
+    assert y.shape == x.shape
