@@ -1,0 +1,148 @@
+"""CompressorEngine: the host-side codec object tying together the flax model,
+the rANS coder and the `.mcq` container.
+
+This is the TPU-native equivalent of the reference's stateful
+`BaseCompressor.compress/decompress/encode/decode` surface
+(`mcquic/modules/compressor.py:67-117`): the flax module stays a pure
+function; the engine owns parameters, jit caches (one executable per padded
+input shape), frequency tables, padding/cropping, and the device↔host
+pipeline into the native entropy coder.
+"""
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mcquic_tpu
+from mcquic_tpu.coding import RansCoder
+from mcquic_tpu.container import CodeSize, File, FileHeader, ImageSize
+from mcquic_tpu.data.transforms import (alignedPadding, centerCropTo, imageToModelInput,
+                                        modelOutputToImage, paddingAmounts)
+from mcquic_tpu.models.compressor import Compressor, Neon
+
+
+def _findFreqEMAs(coderState: dict) -> List[np.ndarray]:
+    """Collect per-level [m,k] freq tables from the `coder` collection.
+
+    UMGMQuantizer stores `freqEMA{i}` leaves; ResidualBackwardQuantizer stores
+    one stacked `freqEMA` [L, m, k] leaf.
+    """
+    found: Dict[str, np.ndarray] = {}
+
+    def visit(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(v, path + (k,))
+        else:
+            name = path[-1]
+            if name.startswith("freqEMA"):
+                found[name] = np.asarray(node)
+
+    visit(coderState, ())
+    if "freqEMA" in found and len(found) == 1:
+        stacked = found["freqEMA"]
+        return [stacked[i] for i in range(stacked.shape[0])]
+    return [found[f"freqEMA{i}"] for i in range(len(found))]
+
+
+class CompressorEngine:
+    """Owns (module, variables); exposes compress/decompress/encode/decode."""
+
+    def __init__(self, module, variables, qp: str = "-1", base: int = 128):
+        self._module = module
+        self._variables = variables
+        self._qp = qp
+        self._base = base
+
+        if isinstance(module, Neon):
+            L = len(module.size)
+            self._m = [1] * L
+            self._k = [module.k] * L
+        elif isinstance(module, Compressor):
+            self._m = [module.m] * len(module.k)
+            self._k = list(module.k)
+        else:
+            raise TypeError(f"Unknown compressor module {type(module)}")
+
+        self._coder = RansCoder(self._m, self._k)
+        self.refreshFreq()
+
+        self._encodeJit = jax.jit(partial(module.apply, method=module.encode))
+        self._decodeJit = jax.jit(partial(module.apply, method=module.decode))
+
+    # ------------------------------------------------------------- state mgmt
+    @property
+    def QuantizationParameter(self) -> str:
+        return self._qp
+
+    @QuantizationParameter.setter
+    def QuantizationParameter(self, qp: str):
+        self._qp = qp
+
+    @property
+    def variables(self):
+        return self._variables
+
+    def updateVariables(self, variables):
+        self._variables = variables
+        self.refreshFreq()
+
+    def refreshFreq(self):
+        """Re-install frequency tables into the rANS coder (CDF cache reset)."""
+        coder = self._variables.get("coder")
+        if coder is not None:
+            self._coder.updateFreq(_findFreqEMAs(coder))
+
+    @property
+    def coder(self) -> RansCoder:
+        return self._coder
+
+    # ----------------------------------------------------------------- codec
+    def _applyVars(self):
+        # setup() declares the `coder` collection, so it must be present in
+        # apply even for read-only encode/decode.
+        return self._variables
+
+    def encode(self, x: np.ndarray) -> List[np.ndarray]:
+        """float [-1,1] NHWC (pre-padding applied here) -> codes [n,m,h,w]."""
+        x = alignedPadding(np.asarray(x, np.float32), self._base)
+        codes = self._encodeJit(self._applyVars(), jnp.asarray(x))
+        # [n,h,w,m] -> reference layout [n,m,h,w]
+        return [np.asarray(c).transpose(0, 3, 1, 2) for c in codes]
+
+    def decode(self, codes: Sequence[np.ndarray]) -> np.ndarray:
+        """codes [n,m,h,w] -> restored float NHWC (still padded)."""
+        codesDev = [jnp.asarray(np.transpose(c, (0, 2, 3, 1)), jnp.int32) for c in codes]
+        return np.asarray(self._decodeJit(self._applyVars(), codesDev))
+
+    def compress(self, x: np.ndarray) -> Tuple[List[np.ndarray], List[List[bytes]], List[FileHeader]]:
+        """float [-1,1] NHWC -> (codes, binaries[n][level], headers[n])
+        (compressor.py:67-77)."""
+        n, h, w, c = x.shape
+        codes = self.encode(x)
+        binaries, codeSizes = self._coder.compress(codes)
+        headers = [FileHeader(mcquic_tpu.__version__, self._qp, cs,
+                              ImageSize(height=h, width=w, channel=c))
+                   for cs in codeSizes]
+        return codes, binaries, headers
+
+    def decompress(self, binaries: List[List[bytes]], headers: List[FileHeader]) -> np.ndarray:
+        """(compressor.py:90-112): entropy-decode, decode, center-crop."""
+        codes = self._coder.decompress(binaries, [h.CodeSize for h in headers])
+        restored = self.decode(codes)
+        ims = headers[0].ImageSize
+        return centerCropTo(restored, ims.height, ims.width)
+
+    # -------------------------------------------------------------- wrappers
+    def compressImage(self, img: np.ndarray) -> File:
+        """uint8 HWC image -> `.mcq` File (demo.py:109-122)."""
+        x = imageToModelInput(img)[None]
+        _, binaries, headers = self.compress(x)
+        return File(headers[0], binaries[0])
+
+    def decompressImage(self, file: File) -> np.ndarray:
+        """`.mcq` File -> uint8 HWC image (demo.py:125-134)."""
+        restored = self.decompress([file.Content], [file.FileHeader])
+        return modelOutputToImage(restored[0])

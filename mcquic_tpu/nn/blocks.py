@@ -64,7 +64,9 @@ class ResidualBlockWithStride(nn.Module):
         inChannels = x.shape[-1]
         y = nn.silu(x)
         y = conv3x3(self.outChannels, stride=self.stride, dtype=self.dtype)(y)
-        y = GenDivNorm(groups=self.groups, dtype=self.dtype)(y)
+        # NOTE: reference keeps GDN un-grouped regardless of `groups`
+        # (blocks.py:116-122); `groups` only feeds the denseNorm GroupNorm.
+        y = GenDivNorm(dtype=self.dtype)(y)
         y = conv3x3(self.outChannels, dtype=self.dtype)(y)
         if self.stride != 1:
             x = conv3x3(self.outChannels, stride=self.stride, dtype=self.dtype)(x)
@@ -86,7 +88,7 @@ class ResidualBlockShuffle(nn.Module):
     def __call__(self, x):
         y = nn.silu(x)
         y = pixelShuffle3x3(self.outChannels, rate=self.upsample, dtype=self.dtype)(y)
-        y = InvGenDivNorm(groups=self.groups, dtype=self.dtype)(y)
+        y = InvGenDivNorm(dtype=self.dtype)(y)
         y = conv3x3(self.outChannels, dtype=self.dtype)(y)
         x = pixelShuffle3x3(self.outChannels, rate=self.upsample, dtype=self.dtype)(x)
         return y + x

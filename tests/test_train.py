@@ -1,0 +1,82 @@
+"""Trainer + multi-device SPMD tests on the 8-device virtual CPU mesh."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcquic_tpu.config import Config
+from mcquic_tpu.models.compressor import Compressor
+from mcquic_tpu.train.trainer import Trainer
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _tinyConfig(tmpPath, hooks=True):
+    return Config.deserialize({
+        "model": {"key": "Compressor", "params": {"channel": 8, "m": 2, "k": [16, 8]}},
+        "train": {
+            "totalStep": 4, "batchSize": 1, "epoch": 1, "valFreq": 20,
+            "trainSet": "unused", "valSet": "unused", "saveDir": str(tmpPath / "saved"),
+            "target": "PSNR",
+            "optim": {"key": "Adam", "params": {"lr": 1e-4}},
+            "schdr": {"key": "CosineAnnealingWarmupRestarts",
+                      "params": {"first_cycle_steps": 100, "warmup_steps": 5}},
+            "gpu": {"gpus": 8},
+            **({"hooks": [{"key": "CodebookReassign", "params": {"freq": 2}}]} if hooks else {}),
+        },
+    })
+
+
+def test_devices_available():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train")
+    cfg = _tinyConfig(tmp)
+    module = Compressor(channel=8, m=2, k=(16, 8))
+    return Trainer(cfg, module=module, inputShape=(32, 32)), tmp
+
+
+def test_train_steps_and_metrics(trainer):
+    tr, _ = trainer
+    rng = np.random.default_rng(0)
+    batch = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+    m1 = tr.trainStep(batch)
+    m2 = tr.trainStep(batch)
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["gradNorm"]) > 0
+    assert int(tr.state.step) == 2
+
+
+def test_codebook_reassign_and_usage(trainer):
+    tr, _ = trainer
+    prop = tr.reassignCodebooks()
+    assert 0.0 <= prop <= 1.0
+    usage = tr.codeUsage()
+    assert 0.0 < usage <= 1.0
+
+
+def test_save_and_resume(trainer):
+    tr, tmp = trainer
+    stepBefore = int(tr.state.step)
+    tr.save()
+    cfg = _tinyConfig(tmp)
+    module = Compressor(channel=8, m=2, k=(16, 8))
+    tr2 = Trainer(cfg, module=module, inputShape=(32, 32))
+    assert tr2.tryResume()
+    assert int(tr2.state.step) == stepBefore
+    # params identical after resume
+    p1 = jax.device_get(tr.state.params)
+    p2 = jax.device_get(tr2.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
