@@ -9,7 +9,9 @@ never touches HBM.
 
 Layout: tokens ride the sublane dim, codewords ride the 128-wide lane dim
 (the "k-last" rule the reference discovered empirically, quantizer.py:95-98,
-is the hardware-native layout here). Distances accumulate in fp32.
+is the hardware-native layout here). All m groups are carried in each block
+(m is 1..12); distances accumulate in fp32. Grid = (token tiles, k tiles)
+with k innermost so VMEM scratch carries the running best across k tiles.
 """
 import functools
 
@@ -28,37 +30,36 @@ def _roundUp(a, b):
 
 
 def _encodeKernel(x_ref, c_ref, out_ref, best_ref, barg_ref, *, blockK: int):
-    """Grid (m, Tt, Kt); K innermost so VMEM scratch carries the running best."""
-    ik = pl.program_id(2)
-    nK = pl.num_programs(2)
+    ik = pl.program_id(1)
+    nK = pl.num_programs(1)
 
-    x = x_ref[0]                                   # [BT, d]
-    c = c_ref[0]                                   # [BK, d]
+    x = x_ref[:]                                   # [m, BT, d]
+    c = c_ref[:]                                   # [m, BK, d]
     c32 = c.astype(jnp.float32)
-    c2 = jnp.sum(c32 * c32, axis=-1)               # [BK]
-    # MXU: [BT, d] x [BK, d]^T -> [BT, BK], fp32 accumulation.
+    c2 = jnp.sum(c32 * c32, axis=-1)               # [m, BK]
+    # Batched MXU matmul: [m, BT, d] x [m, BK, d]^T -> [m, BT, BK], fp32 acc.
     scores = jax.lax.dot_general(
-        x, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        x, c, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dist = c2[None, :] - 2.0 * scores              # x^2 constant wrt argmin
+    dist = c2[:, None, :] - 2.0 * scores           # x^2 constant wrt argmin
 
-    localMin = jnp.min(dist, axis=-1)              # [BT]
+    localMin = jnp.min(dist, axis=-1)              # [m, BT]
     localArg = jnp.argmin(dist, axis=-1).astype(jnp.int32) + ik * blockK
 
     @pl.when(ik == 0)
     def _():
-        best_ref[0, :] = localMin
-        barg_ref[0, :] = localArg
+        best_ref[:] = localMin
+        barg_ref[:] = localArg
 
     @pl.when(ik > 0)
     def _():
-        better = localMin < best_ref[0, :]
-        best_ref[0, :] = jnp.where(better, localMin, best_ref[0, :])
-        barg_ref[0, :] = jnp.where(better, localArg, barg_ref[0, :])
+        better = localMin < best_ref[:]
+        best_ref[:] = jnp.where(better, localMin, best_ref[:])
+        barg_ref[:] = jnp.where(better, localArg, barg_ref[:])
 
     @pl.when(ik == nK - 1)
     def _():
-        out_ref[0, :] = barg_ref[0, :]
+        out_ref[:] = barg_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("blockT", "blockK", "interpret"))
@@ -74,8 +75,12 @@ def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 512,
     """
     m, T, d = x.shape
     _, k, _ = codebook.shape
-    blockT = min(blockT, _roundUp(max(T, 8), 8))
+    # Keep the per-step distance tile (m*BT*BK fp32) within ~4 MiB of VMEM.
+    budget = 4 * 1024 * 1024 // 4
     blockK = min(blockK, _roundUp(max(k, 128), 128))
+    maxBT = max(budget // (m * blockK), 8)
+    blockT = min(blockT, maxBT, _roundUp(max(T, 8), 8))
+    blockT = _roundUp(blockT, 8) if blockT >= 8 else 8
 
     Tp = _roundUp(T, blockT)
     Kp = _roundUp(k, blockK)
@@ -86,19 +91,19 @@ def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 512,
         codebook = jnp.pad(codebook, ((0, 0), (0, Kp - k), (0, 0)),
                            constant_values=1e4)
 
-    grid = (m, Tp // blockT, Kp // blockK)
+    grid = (Tp // blockT, Kp // blockK)
     out = pl.pallas_call(
         functools.partial(_encodeKernel, blockK=blockK),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, blockT, d), lambda im, it, ik: (im, it, 0)),
-            pl.BlockSpec((1, blockK, d), lambda im, it, ik: (im, ik, 0)),
+            pl.BlockSpec((m, blockT, d), lambda it, ik: (0, it, 0)),
+            pl.BlockSpec((m, blockK, d), lambda it, ik: (0, ik, 0)),
         ],
-        out_specs=pl.BlockSpec((1, blockT), lambda im, it, ik: (im, it)),
+        out_specs=pl.BlockSpec((m, blockT), lambda it, ik: (0, it)),
         out_shape=jax.ShapeDtypeStruct((m, Tp), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((1, blockT), jnp.float32),
-            pltpu.VMEM((1, blockT), jnp.int32),
+            pltpu.VMEM((m, blockT), jnp.float32),
+            pltpu.VMEM((m, blockT), jnp.int32),
         ],
         interpret=interpret,
     )(x, codebook)

@@ -1,0 +1,207 @@
+"""Stage-2 generation trainer.
+
+Parity with reference `mcquic/train/genTrainer.py`: model is the generator
+only (`:67-70`), frozen tokenizer inside, bf16 activations (autocast
+equivalent: module dtype bf16 with fp32 params — no grad scaler needed on
+TPU, bf16 has fp32 range), grad-clip 2.0 (`:283`), per-level CE logging
+(`:418-441`), LAMB/Adam via optax, ZeRO-sharded optimizer state. The frozen
+compressor subtree is excluded from optimization with optax.masked
+(reference sets requires_grad_(False), generator_3_self_attn.py:156-158).
+"""
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from mcquic_tpu.config import Config
+from mcquic_tpu.parallel import batchSharding, makeMesh, replicated, zeroShardings
+from mcquic_tpu.train.lrSchedulers import getSchedule
+from mcquic_tpu.train.optim import getOptimizer
+from mcquic_tpu.train.saver import Saver, loadTree
+from mcquic_tpu.train.state import TrainState
+from mcquic_tpu.utils.registry import GeneratorRegistry
+
+logger = logging.getLogger("mcquic_tpu.train.gen")
+
+SEED = 3407
+
+
+def _trainableMask(params):
+    """False for the frozen compressor subtree, True elsewhere."""
+    def mark(path, leaf):
+        return "compressor" not in [str(p.key) if hasattr(p, "key") else str(p)
+                                    for p in path]
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def makeGenTrainStep(module, tx, clipNorm: float = 2.0):
+    def stepFn(state: TrainState, images, labels):
+        rng, sub = jax.random.split(state.rng)
+
+        def lossFn(params):
+            (_, loss, _, _, perLevel), _ = module.apply(
+                {"params": params, "coder": state.coder}, images, labels,
+                train=True, mutable=["coder"])
+            return loss, perLevel
+
+        (loss, perLevel), grads = jax.value_and_grad(lossFn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, clipNorm / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, optState = tx.update(grads, state.optState, state.params)
+        params = optax.apply_updates(state.params, updates)
+        newState = state.replace(step=state.step + 1, params=params,
+                                 optState=optState, rng=rng)
+        metrics = {"loss": loss, "gradNorm": gnorm,
+                   **{f"ceLv{i:02d}": l for i, l in enumerate(perLevel)}}
+        return newState, metrics
+
+    return stepFn
+
+
+def loadCompressorParams(ckptPath) -> dict:
+    """Stage-1 checkpoint params -> generator `compressor` subtree
+    (reference prefix-strip load, generator_3_self_attn.py:148-158)."""
+    tree, _ = loadTree(Path(ckptPath))
+    return tree["params"], tree.get("coder", {})
+
+
+class GenTrainer:
+    def __init__(self, config: Config, module=None, mesh=None, imageSize: int = 256):
+        self._config = config
+        self._mesh = mesh if mesh is not None else makeMesh()
+        train = config.Train
+        params = dict(config.Model.Params)
+        loadFrom = params.pop("loadFrom", None)
+
+        if module is None:
+            key = config.Model.Key
+            module = GeneratorRegistry.get(key)(
+                **{k: (tuple(v) if isinstance(v, list) else v) for k, v in params.items()})
+        self._module = module
+
+        worldSize = int(np.prod(list(self._mesh.shape.values())))
+        optimCfg = train.scaledOptim(worldSize)
+        baseLr = optimCfg.Params.get("lr", 1e-4)
+        schedule = getSchedule(train.Schdr.Key, baseLr, train.Schdr.Params)
+
+        inner = getOptimizer(optimCfg.Key, schedule, optimCfg.Params)
+
+        rng = jax.random.PRNGKey(SEED)
+        dummyImg = jnp.zeros((max(worldSize, 1), imageSize, imageSize, 3), jnp.float32)
+        dummyLbl = jnp.zeros((max(worldSize, 1),), jnp.int32)
+        variables = module.init({"params": jax.random.PRNGKey(SEED),
+                                 "gumbel": jax.random.PRNGKey(SEED + 1)},
+                                dummyImg, dummyLbl, train=True)
+        variables = dict(variables)
+
+        if loadFrom:
+            cParams, cCoder = loadCompressorParams(loadFrom)
+            newParams = dict(variables["params"])
+            newParams["compressor"] = cParams
+            variables["params"] = newParams
+            if cCoder:
+                newCoder = dict(variables.get("coder", {}))
+                newCoder["compressor"] = cCoder
+                variables["coder"] = newCoder
+            logger.info("loaded frozen compressor from %s", loadFrom)
+
+        self._tx = optax.masked(inner, _trainableMask(variables["params"]))
+        state = TrainState.create(variables, self._tx, rng)
+
+        rep = replicated(self._mesh)
+        self._stateShardings = TrainState(
+            step=rep,
+            params=jax.tree_util.tree_map(lambda _: rep, state.params),
+            coder=jax.tree_util.tree_map(lambda _: rep, state.coder),
+            optState=zeroShardings(self._mesh, state.optState),
+            rng=rep)
+        self._batchSharding = batchSharding(self._mesh)
+        self._state = jax.device_put(state, self._stateShardings)
+
+        stepFn = makeGenTrainStep(module, self._tx)
+        self._jitStep = jax.jit(stepFn,
+                                in_shardings=(self._stateShardings,
+                                              self._batchSharding, self._batchSharding),
+                                out_shardings=(self._stateShardings, None),
+                                donate_argnums=(0,))
+
+        self._saver = Saver(train.SaveDir) if train.SaveDir else None
+        self._resumePath = self._saver.PreviousCkpt if self._saver else None
+        self._schedule = schedule
+
+    @property
+    def state(self):
+        return self._state
+
+    @property
+    def module(self):
+        return self._module
+
+    def trainStep(self, images: np.ndarray, labels: np.ndarray) -> dict:
+        images = jax.device_put(jnp.asarray(images), self._batchSharding)
+        labels = jax.device_put(jnp.asarray(labels, jnp.int32), self._batchSharding)
+        self._state, metrics = self._jitStep(self._state, images, labels)
+        return metrics
+
+    def save(self):
+        if self._saver is None:
+            return
+        optLeaves = jax.tree_util.tree_leaves(jax.device_get(self._state.optState))
+        tree = {"step": np.asarray(self._state.step),
+                "params": jax.device_get(self._state.params),
+                "coder": jax.device_get(self._state.coder),
+                "optState": {f"{i:05d}": np.asarray(l) for i, l in enumerate(optLeaves)},
+                "rng": np.asarray(self._state.rng)}
+        self._saver.save(tree, {"config": self._config.serialize()})
+
+    def tryResume(self) -> bool:
+        path = self._resumePath
+        if path is None or not Path(path).exists():
+            return False
+        tree, _ = Saver.load(path)
+        optLeaves = [tree["optState"][k] for k in sorted(tree["optState"])]
+        tDef = jax.tree_util.tree_structure(self._state.optState)
+        if tDef.num_leaves != len(optLeaves):
+            raise ValueError("optimizer state layout changed; cannot resume")
+        self._state = self._state.replace(
+            step=jnp.asarray(tree["step"], jnp.int32),
+            params=tree["params"], coder=tree["coder"],
+            optState=jax.tree_util.tree_unflatten(tDef, optLeaves),
+            rng=jnp.asarray(tree["rng"], jnp.uint32))
+        self._state = jax.device_put(self._state, self._stateShardings)
+        return True
+
+    def train(self, loaderFn, onStep=None):
+        train = self._config.Train
+        total = train.TotalStep
+        saveFreq = max(train.ValFreq // 10, 1)
+        step = int(self._state.step)
+        import math as _math
+        import time as _time
+        lastLog = _time.time()
+        while step < total:
+            for images, labels in loaderFn():
+                metrics = self.trainStep(images, labels)
+                step += 1
+                if step % 100 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    if not _math.isfinite(m["loss"]):
+                        raise RuntimeError(f"Loss is NaN/Inf at step {step}: {m}")
+                    m["stepsPerSec"] = 100 / (_time.time() - lastLog)
+                    lastLog = _time.time()
+                    logger.info("step %d: %s", step, m)
+                    if onStep is not None:
+                        onStep(step, m)
+                if step % saveFreq == 0:
+                    self.save()
+                if step >= total:
+                    break
+        self.save()
+        return self._state

@@ -1,0 +1,73 @@
+"""Stage-2 generator smoke tests (tiny geometry, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcquic_tpu.models.generator import GeneratorV3SelfAttention, blockCausalMask
+
+
+@pytest.fixture(scope="module")
+def tinyGen():
+    # input 32 -> outer /8 -> 4; size (2,1): halve to 2, halve to 1.
+    module = GeneratorV3SelfAttention(
+        channel=8, k=16, size=(2, 1), denseNorm=False,
+        hiddenSize=32, depth=2, nHeads=4, numClasses=10)
+    img = jnp.zeros((2, 32, 32, 3))
+    lbl = jnp.zeros((2,), jnp.int32)
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, img, lbl, train=True)
+    return module, variables
+
+
+def test_block_causal_mask():
+    mask = np.asarray(blockCausalMask([1, 4]))
+    assert mask.shape == (5, 5)
+    # first block sees itself only
+    assert mask[0, 0] == 1 and mask[0, 1:].sum() == 0
+    # second block sees block 1 and ALL of itself (not just causal prefix)
+    assert mask[1].sum() == 5
+    assert mask[1, 4] == 1  # within-block full attention
+
+
+def test_generator_training_forward(tinyGen):
+    module, variables = tinyGen
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
+    lbl = jnp.asarray([3, 7], jnp.int32)
+    predictions, loss, codes, restored, perLevel = module.apply(
+        variables, img, lbl, train=True)
+    assert len(predictions) == 2 and len(codes) == 2
+    assert predictions[0].shape == (2, 1, 1, 16)   # smallest level, k=16
+    assert predictions[1].shape == (2, 2, 2, 16)
+    assert jnp.isfinite(loss)
+    assert len(perLevel) == 2
+
+
+def test_generator_frozen_compressor_gets_no_grads(tinyGen):
+    module, variables = tinyGen
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3), minval=-1, maxval=1)
+    lbl = jnp.asarray([0], jnp.int32)
+
+    def lossFn(params):
+        _, loss, _, _, _ = module.apply({"params": params, "coder": variables["coder"]},
+                                     img, lbl, train=True)
+        return loss
+
+    g = jax.grad(lossFn)(variables["params"])
+    compGrads = jax.tree_util.tree_leaves(g["compressor"])
+    assert all(float(jnp.sum(jnp.abs(x))) == 0 for x in compGrads)
+    transGrads = jax.tree_util.tree_leaves(g["transformer"])
+    assert any(float(jnp.sum(jnp.abs(x))) > 0 for x in transGrads)
+
+
+def test_generator_sampling(tinyGen):
+    module, variables = tinyGen
+    lbl = jnp.asarray([1, 5], jnp.int32)
+    predictions, restored = module.apply(
+        variables, lbl, rng=jax.random.PRNGKey(4), temperature=1.0, topK=4,
+        method=module.generate)
+    assert len(predictions) == 2
+    assert predictions[0].shape == (2, 1, 1, 1)
+    assert predictions[1].shape == (2, 2, 2, 1)
+    assert restored.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(restored)).all()
