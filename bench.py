@@ -27,12 +27,14 @@ def main():
     from mcquic_tpu.models.compressor import Compressor
     from mcquic_tpu.models.engine import CompressorEngine
 
+    from mcquic_tpu.utils.initialization import fastInit
+
     module = Compressor(channel=128, m=2, k=(8192, 2048, 512), dtype=jnp.bfloat16)
     x0 = jnp.zeros((BATCH, H, W, 3), jnp.float32)
-    variables = jax.jit(
-        lambda r: module.init({"params": r, "gumbel": r}, x0, train=False)
-    )(jax.random.PRNGKey(0))
-    variables = jax.device_get(variables)
+    rng = jax.random.PRNGKey(0)
+    # host-side init: avoids compiling the full init graph (throughput bench
+    # only needs shape-faithful random weights)
+    variables = fastInit(module, {"params": rng, "gumbel": rng}, x0, train=False)
     engine = CompressorEngine(module, variables, qp="2")
 
     rng = np.random.default_rng(0)

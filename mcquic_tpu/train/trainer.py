@@ -195,27 +195,7 @@ def _adaptModelParams(params: dict) -> dict:
             if k in ("channel", "m", "k", "permutationRate")}
 
 
-class _CodebookReassignHook:
-    """reference hooks.py:100-121."""
-
-    def __init__(self, freq: int = 10000):
-        self._freq = freq
-
-    def __call__(self, trainer: Trainer, step: int):
-        if step % self._freq == 0:
-            prop = trainer.reassignCodebooks()
-            logger.info("step %d: codebook reassigned, proportion=%.4f", step, prop)
-
-
 def _buildHooks(train) -> list:
-    hooks = []
-    for h in train.Hooks:
-        if h.Key == "CodebookReassign":
-            hooks.append(_CodebookReassignHook(**h.Params))
-        else:
-            from mcquic_tpu.utils.registry import HookRegistry
-            if h.Key in HookRegistry:
-                hooks.append(HookRegistry.get(h.Key)(**h.Params))
-            else:
-                logger.warning("Unknown hook %s ignored", h.Key)
-    return hooks
+    from mcquic_tpu.train.hooks import getAllHooks
+    grouped = getAllHooks(train.Hooks)
+    return [h for hooks in grouped.values() for h in hooks]
