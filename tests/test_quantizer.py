@@ -68,3 +68,14 @@ def test_reassign_codebook_half_limit():
     newCb, _ = reassignCodebook(jax.random.PRNGKey(8), cb, freq)
     changed = np.asarray(jnp.any(newCb != cb, -1))[0]
     assert changed.sum() == k // 2
+
+
+def test_vq_encode_chunked_matches_plain():
+    from mcquic_tpu.ops.vq import vqEncodeChunked
+    key = jax.random.PRNGKey(9)
+    n, h, w, m, d, k = 2, 3, 5, 2, 8, 300   # k not multiple of chunk
+    x = jax.random.normal(key, (n, h, w, m, d))
+    cb = jax.random.normal(jax.random.PRNGKey(10), (m, k, d))
+    got = vqEncodeChunked(x, cb, chunk=128)
+    want = jnp.argmin(vqDistance(x, cb), -1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -170,3 +170,22 @@ def test_compression_ratio_sane():
     enc = rans.encodeNp(symbols, indexes, cdfMat, cdfSizes, offsets)
     # Entropy ~1.16 bits/sym -> ~1450 bytes; raw int would be >= 1 byte/sym.
     assert len(enc) < 0.25 * n
+
+
+def test_streaming_decoder_matches_batch():
+    """set_stream/decode_stream parity (reference rans_decoder.cpp:175-248)."""
+    rng = np.random.default_rng(7)
+    k = 64
+    pmf = _randomPmf(rng, k)
+    cdf = rans.pmfToQuantizedCDF(pmf.tolist(), 16)
+    n = 100
+    symbols = rng.integers(0, k, n).astype(np.int32)
+    indexes = np.zeros(n, dtype=np.int32)
+    enc = rans.RansEncoder()
+    binary = enc.encodeWithIndexes(symbols.tolist(), indexes.tolist(), [cdf], [k + 1], [0])
+
+    dec = rans.RansDecoder()
+    dec.set_stream(binary)
+    first = dec.decode_stream(indexes[:40], [cdf], [k + 1], [0])
+    second = dec.decode_stream(indexes[40:], [cdf], [k + 1], [0])
+    np.testing.assert_array_equal(np.concatenate([first, second]), symbols)
