@@ -24,11 +24,10 @@ def _setupLogging(debug: bool, quiet: bool):
 class DefaultGroup(click.Group):
     """Route unknown invocations to the default compress/restore command."""
 
-    def resolve_command(self, ctx, args):
-        try:
-            return super().resolve_command(ctx, args)
-        except click.UsageError:
-            return "_default", self.get_command(ctx, "_default"), args
+    def parse_args(self, ctx, args):
+        if args and args[0] not in self.commands and args[0] not in ("--help", "-h"):
+            args = ["_default"] + list(args)
+        return super().parse_args(ctx, args)
 
 
 @click.group(cls=DefaultGroup, invoke_without_command=True, help=_banner())

@@ -1,0 +1,57 @@
+"""CLI acceptance test — the reference's product test is `mcquic -qp 2
+sample.png ./` + restore (test-all.yml:36-45); here with a local tiny model."""
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+
+@pytest.fixture(scope="module")
+def tinyExportedModel(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from mcquic_tpu.config import Config
+    from mcquic_tpu.models.compressor import Compressor
+    from mcquic_tpu.train.saver import exportModel
+
+    tmp = tmp_path_factory.mktemp("model")
+    module = Compressor(channel=8, m=2, k=(16, 8))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x, train=False)
+    cfg = Config.deserialize(
+        {"model": {"key": "Compressor", "params": {"channel": 8, "m": 2, "k": [16, 8]}}})
+    path = exportModel(tmp / "model.npz", variables, cfg.serialize(), qp="2")
+    return path
+
+
+def test_cli_compress_restore_roundtrip(tinyExportedModel, tmp_path):
+    from PIL import Image
+
+    from mcquic_tpu.cli import entryPoint
+
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    src = tmp_path / "sample.png"
+    Image.fromarray(img).save(src)
+
+    runner = CliRunner()
+    mcq = tmp_path / "sample.mcq"
+    res = runner.invoke(entryPoint, ["--local", str(tinyExportedModel),
+                                     str(src), str(mcq)], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert mcq.exists() and mcq.stat().st_size > 0
+
+    out = tmp_path / "restored.png"
+    res = runner.invoke(entryPoint, ["--local", str(tinyExportedModel),
+                                     str(mcq), str(out)], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    restored = np.asarray(Image.open(out))
+    assert restored.shape == img.shape
+
+
+def test_cli_help_of_every_subcommand():
+    from mcquic_tpu.cli import entryPoint
+    runner = CliRunner()
+    for sub in ([], ["train"], ["validate"], ["dataset"]):
+        res = runner.invoke(entryPoint, sub + ["--help"])
+        assert res.exit_code == 0
