@@ -43,14 +43,18 @@ class GenDivNorm(nn.Module):
         beta = nonNegativeApply(beta, minimum=self.biasBound)
         gamma = nonNegativeApply(gamma)
 
-        x32 = x.astype(jnp.float32)
-        n, h, w, _ = x32.shape
-        # Grouped 1x1 conv over x^2: [n,h,w,g,cg] x [g,cg,cg] -> [n,h,w,g,cg]
-        x2 = (x32 * x32).reshape(n, h, w, g, cg)
-        std = jnp.einsum("nhwgi,gio->nhwgo", x2, gamma,
-                         preferred_element_type=jnp.float32).reshape(n, h, w, c) + beta
+        n, h, w, _ = x.shape
+        # Grouped 1x1 conv over x^2: [n,h,w,g,cg] x [g,cg,cg] -> [n,h,w,g,cg].
+        # The mixing matmul runs in the compute dtype (bf16 on TPU: fp32
+        # matmuls have no native MXU path) with fp32 accumulation; the
+        # rsqrt/sqrt stays fp32 for range safety.
+        xc = x.astype(self.dtype)
+        x2 = (xc * xc).reshape(n, h, w, g, cg)
+        std = jnp.einsum("nhwgi,gio->nhwgo", x2, gamma.astype(self.dtype),
+                         preferred_element_type=jnp.float32).reshape(n, h, w, c)
+        std = std.astype(jnp.float32) + beta
         scale = jnp.sqrt(std) if self.inverse else jax.lax.rsqrt(std)
-        return (x32 * scale).astype(x.dtype)
+        return (x.astype(jnp.float32) * scale).astype(x.dtype)
 
 
 class InvGenDivNorm(GenDivNorm):

@@ -159,13 +159,13 @@ def vqDequantizeCodes(codes: jax.Array, codebook: jax.Array) -> jax.Array:
     Returns:
         [n, h, w, m*d].
     """
-    m = codebook.shape[0]
-    # [n,h,w,m,d]: for each group m, gather codebook[m, codes[..., m]]
-    gathered = jnp.take_along_axis(
-        codebook[None, None, None],                               # [1,1,1,m,k,d]
-        codes[..., None, None].astype(jnp.int32),                 # [n,h,w,m,1,1]
-        axis=-2,
-    )[..., 0, :]
+    m, k, d = codebook.shape
+    # Flat row gather: [m,k,d] -> [m*k,d], index = code + group offset.
+    # Lowers to a single contiguous-row gather (cheaper than the nested
+    # take_along_axis form).
+    flat = codebook.reshape(m * k, d)
+    idx = codes.astype(jnp.int32) + (jnp.arange(m, dtype=jnp.int32) * k)
+    gathered = jnp.take(flat, idx, axis=0)                        # [n,h,w,m,d]
     return ungroupLatent(gathered)
 
 
