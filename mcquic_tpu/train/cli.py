@@ -47,7 +47,12 @@ def main(configPath, resume: bool = False, gen: bool = False):
     if Saver.probeResume(train.SaveDir) is not None:
         trainer.tryResume()
 
-    loaderFn = getTrainLoader(train.TrainSet, train.BatchSize,
-                              cropSize=256 if gen else 512)
+    if gen:
+        # class-conditional loader: (images, labels) from an imagenet-style
+        # folder (reference gen path, data/__init__.py:109-122)
+        from mcquic_tpu.data.imagenet_classes import getGenLoader
+        loaderFn = getGenLoader(train.TrainSet, train.BatchSize, cropSize=256)
+    else:
+        loaderFn = getTrainLoader(train.TrainSet, train.BatchSize, cropSize=512)
     trainer.train(loaderFn)
     return trainer

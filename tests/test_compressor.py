@@ -120,3 +120,23 @@ def test_neon_training_forward_and_grads():
     # The shared codebook must receive gradient through the straight-through path.
     cbGrad = g["_quantizer"]["codebook"]
     assert float(jnp.sum(jnp.abs(cbGrad))) > 0
+
+
+def test_plain_coder_mode(tinyV1):
+    """Raw int64 'plain' mode matches reference VariousMCoder byte layout
+    (entropyCoder.py:401/421)."""
+    from mcquic_tpu.coding import RansCoder
+    rng = np.random.default_rng(7)
+    img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    codes = tinyV1.encode(img)
+    plain = RansCoder([2, 2], [16, 8], mode="plain")
+    binaries, codeSizes = plain.compress(codes)
+    # byte-compatible: raw little-endian int64 of the [m,h,w] walk
+    expect = np.ascontiguousarray(codes[0][0], dtype=np.int64).tobytes()
+    assert binaries[0][0] == expect
+    decoded = plain.decompress(binaries, codeSizes)
+    for ref, dec in zip(codes, decoded):
+        np.testing.assert_array_equal(ref, dec)
+    # rANS mode is strictly smaller than plain for the same codes
+    ransBin, _ = tinyV1.coder.compress(codes)
+    assert sum(map(len, ransBin[0])) < sum(map(len, binaries[0]))
