@@ -237,6 +237,11 @@ class GeneratorV3SelfAttention(nn.Module):
     depth: int = 24
     nHeads: int = 16
     numClasses: int = IMAGENET_CLASSES
+    # Text conditioning (reference GeneratorV3, generator_3.py:60-86): the
+    # CLIP encoder runs OUTSIDE the graph; condition is then a precomputed
+    # caption embedding [n, capDim] instead of int class ids.
+    textConditioned: bool = False
+    capDim: int = 512
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -244,8 +249,11 @@ class GeneratorV3SelfAttention(nn.Module):
                                denseNorm=self.denseNorm, useRemat=False)
         hs = self.hiddenSize
         std = math.sqrt(2 / (5 * hs))
-        self.classEmbed = self.param("classEmbed", _truncInit(std),
-                                     (self.numClasses, hs))
+        if self.textConditioned:
+            self.capProj = nn.Dense(hs, dtype=self.dtype)
+        else:
+            self.classEmbed = self.param("classEmbed", _truncInit(std),
+                                         (self.numClasses, hs))
         # Own scaffold: hidden-size codebook + per-scale restore heads
         # (generator_3_self_attn.py:101-137).
         self.scaffoldCodebook = self.param("scaffoldCodebook", _truncInit(std),
@@ -313,6 +321,13 @@ class GeneratorV3SelfAttention(nn.Module):
         return jnp.concatenate(
             [jnp.broadcast_to(p, (bs, *p.shape[1:])) for p in parts], 1)
 
+    def _condEmbed(self, condition):
+        """Pooled condition embedding: class table lookup, or caption
+        projection when textConditioned (generator_3.py cap_embedder path)."""
+        if self.textConditioned:
+            return self.capProj(condition.astype(self.dtype))
+        return self.classEmbed[condition].astype(self.dtype)
+
     # -------------------------------------------------------------- training
     def __call__(self, image, condition, train: bool = True):
         """image [n,h,w,3] in [-1,1]; condition [n] int class ids.
@@ -330,7 +345,7 @@ class GeneratorV3SelfAttention(nn.Module):
             scaffolds.append(former)
 
         bs = image.shape[0]
-        capPooled = self.classEmbed[condition].astype(self.dtype)
+        capPooled = self._condEmbed(condition)
         seq = self._assembleSequence([s.astype(self.dtype) for s in scaffolds],
                                      capPooled, bs)
         logits = self.transformer(seq, self._mask, capPooled, capPooled)
@@ -370,7 +385,7 @@ class GeneratorV3SelfAttention(nn.Module):
         image from the frozen compressor.
         """
         bs = condition.shape[0]
-        capPooled = self.classEmbed[condition].astype(self.dtype)
+        capPooled = self._condEmbed(condition)
         L = len(self._lengths)
 
         predictions = []

@@ -54,7 +54,10 @@ class GenDivNorm(nn.Module):
                          preferred_element_type=jnp.float32).reshape(n, h, w, c)
         std = std.astype(jnp.float32) + beta
         scale = jnp.sqrt(std) if self.inverse else jax.lax.rsqrt(std)
-        return (x.astype(jnp.float32) * scale).astype(x.dtype)
+        # multiply in the compute dtype: avoids materializing fp32 copies of
+        # the (large) activation tensors on bandwidth-bound chips
+        return xc * scale.astype(self.dtype) if self.dtype != jnp.float32 \
+            else x * scale
 
 
 class InvGenDivNorm(GenDivNorm):
