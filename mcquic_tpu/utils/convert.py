@@ -1,0 +1,224 @@
+"""Reference (PyTorch) checkpoint → flax params conversion.
+
+Maps the reference McQuic state-dict naming (mcquic/modules/compressor.py
+`Compressor`, NCHW/OIHW tensors) onto this build's flax tree (NHWC/HWIO).
+Enables RD-parity evaluation with reference-trained weights (BASELINE.json
+north star) without any torch dependency at inference time — conversion is a
+one-shot offline step.
+
+Name map summary (v1 `Compressor`):
+    _encoder.N.*                       -> _encoder/<Block>_i/...
+    _decoder.N.*                       -> _decoder/<Block>_i/...
+    _quantizer._encoders.L._latentStageEncoder.N.* -> _quantizer/_latentStageEncoders_L/...
+    _quantizer._encoders.L._quantizer._codebook    -> _quantizer/codebookL
+    _quantizer._encoders.L._quantizer._temperature -> _quantizer/temperatureL
+    _quantizer._decoders.L.{_dequantizationHead,_sideHead,_restoreHead}.N.*
+    _quantizer._entropyCoder._freqEMA.L            -> coder/_quantizer/freqEMAL
+
+Tensor transforms: conv OIHW->HWIO; 1x1 "linear" convs likewise; GDN
+beta/gamma stay in reparam space (identical NonNegativeParametrizer);
+temperature [m,1,1,1]->[m]; codebook [m,k,d] unchanged.
+"""
+from typing import Callable, Dict, List, Tuple
+
+import numpy as np
+
+TORCH_SILU = object()  # marker: no params
+
+
+def _convW(w):
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+class _Map:
+    """Accumulates (flaxPath tuple) -> (torchKey, transform)."""
+
+    def __init__(self):
+        self.entries: Dict[Tuple[str, ...], Tuple[str, Callable]] = {}
+
+    def add(self, flaxPath, torchKey, fn=lambda x: x):
+        assert flaxPath not in self.entries, f"dup flax path {flaxPath}"
+        self.entries[flaxPath] = (torchKey, fn)
+
+    def conv(self, flaxPrefix, torchPrefix, bias=True):
+        # flax wrapper Conv module contains an inner nn.Conv named Conv_0
+        self.add((*flaxPrefix, "Conv_0", "kernel"), f"{torchPrefix}.weight", _convW)
+        if bias:
+            self.add((*flaxPrefix, "Conv_0", "bias"), f"{torchPrefix}.bias")
+
+    def gdn(self, flaxPrefix, torchPrefix):
+        self.add((*flaxPrefix, "beta"), f"{torchPrefix}.beta")
+        # reference gamma [cOut, cIn/groups] -> ours [g, cg, cgOut]: for g=1
+        # reference stores [c, c] (out, in); ours [1, in, out]
+        self.add((*flaxPrefix, "gamma"), f"{torchPrefix}.gamma",
+                 lambda g: np.transpose(g, (1, 0))[None])
+
+    def residualBlock(self, flaxPrefix, torchPrefix, denseNorm=False, skip=False):
+        self.conv((*flaxPrefix, "Conv_0"), f"{torchPrefix}._branch.1")
+        if denseNorm:
+            self.add((*flaxPrefix, "GroupNorm_0", "scale"), f"{torchPrefix}._branch.2.weight")
+            self.add((*flaxPrefix, "GroupNorm_0", "bias"), f"{torchPrefix}._branch.2.bias")
+        self.conv((*flaxPrefix, "Conv_1"), f"{torchPrefix}._branch.3")
+        if skip:
+            self.conv((*flaxPrefix, "Conv_2"), f"{torchPrefix}._skip")
+
+    def residualBlockStride(self, flaxPrefix, torchPrefix):
+        self.conv((*flaxPrefix, "Conv_0"), f"{torchPrefix}._branch.1")
+        self.gdn((*flaxPrefix, "GenDivNorm_0"), f"{torchPrefix}._branch.2")
+        self.conv((*flaxPrefix, "Conv_1"), f"{torchPrefix}._branch.3")
+        self.conv((*flaxPrefix, "Conv_2"), f"{torchPrefix}._skip")
+
+    def residualBlockShuffle(self, flaxPrefix, torchPrefix):
+        # branch pixel-shuffle conv is Sequential(conv, PixelShuffle) -> .0
+        self.conv((*flaxPrefix, "PixelShuffleConv_0"), f"{torchPrefix}._branch.1.0")
+        self.gdn((*flaxPrefix, "InvGenDivNorm_0"), f"{torchPrefix}._branch.2")
+        self.conv((*flaxPrefix, "Conv_0"), f"{torchPrefix}._branch.3")
+        self.conv((*flaxPrefix, "PixelShuffleConv_1"), f"{torchPrefix}._skip.0")
+
+    def attentionBlock(self, flaxPrefix, torchPrefix, denseNorm=False):
+        for j in range(3):
+            self.residualBlock((*flaxPrefix, f"ResidualBlock_{j}"),
+                               f"{torchPrefix}._mainBranch.{j}", denseNorm)
+        for j in range(3):
+            self.residualBlock((*flaxPrefix, f"ResidualBlock_{3 + j}"),
+                               f"{torchPrefix}._sideBranch.{j}", denseNorm)
+        self.conv((*flaxPrefix, "Conv_0"), f"{torchPrefix}._sideBranch.3")
+
+
+def buildCompressorMap(channel: int, m: int, k: List[int]) -> _Map:
+    """Name map for the v1 `Compressor` (reference compressor.py:120-177)."""
+    mp = _Map()
+    # ---- encoder (compressor.py:122-131)
+    e = ("params", "_encoder")
+    mp.conv((*e, "Conv_0"), "_encoder.0")
+    mp.residualBlock((*e, "ResidualBlock_0"), "_encoder.1")
+    mp.residualBlockStride((*e, "ResidualBlockWithStride_0"), "_encoder.2")
+    mp.attentionBlock((*e, "AttentionBlock_0"), "_encoder.3")
+    mp.residualBlock((*e, "ResidualBlock_1"), "_encoder.4")
+    mp.residualBlockStride((*e, "ResidualBlockWithStride_1"), "_encoder.5")
+    mp.residualBlock((*e, "ResidualBlock_2"), "_encoder.6")
+    # ---- decoder (compressor.py:132-140)
+    d = ("params", "_decoder")
+    mp.residualBlock((*d, "ResidualBlock_0"), "_decoder.0")
+    mp.residualBlockShuffle((*d, "ResidualBlockShuffle_0"), "_decoder.1")
+    mp.attentionBlock((*d, "AttentionBlock_0"), "_decoder.2")
+    mp.residualBlock((*d, "ResidualBlock_1"), "_decoder.3")
+    mp.residualBlockShuffle((*d, "ResidualBlockShuffle_1"), "_decoder.4")
+    mp.residualBlock((*d, "ResidualBlock_2"), "_decoder.5")
+    mp.conv((*d, "PixelShuffleConv_0"), "_decoder.6.0")
+    # ---- quantizer levels (compressor.py:141-176 head factories)
+    q = ("params", "_quantizer")
+    for lv in range(len(k)):
+        tq = f"_quantizer._encoders.{lv}"
+        mp.add((*q, f"codebook{lv}"), f"{tq}._quantizer._codebook")
+        mp.add((*q, f"temperature{lv}"), f"{tq}._quantizer._temperature",
+               lambda t: np.asarray(t).reshape(-1))
+        lse = (*q, f"_latentStageEncoders_{lv}")
+        mp.residualBlockStride((*lse, "ResidualBlockWithStride_0"),
+                               f"{tq}._latentStageEncoder.0")
+        mp.residualBlock((*lse, "ResidualBlock_0"), f"{tq}._latentStageEncoder.1")
+        mp.attentionBlock((*lse, "AttentionBlock_0"), f"{tq}._latentStageEncoder.2")
+        qh = (*q, f"_quantizationHeads_{lv}")
+        mp.residualBlock((*qh, "ResidualBlock_0"), f"{tq}._quantizationHead.0")
+        mp.attentionBlock((*qh, "AttentionBlock_0"), f"{tq}._quantizationHead.1")
+        mp.conv((*qh, "Conv_0"), f"{tq}._quantizationHead.2")
+        if lv < len(k) - 1:
+            lh = (*q, f"_latentHeads_{lv}")
+            mp.residualBlock((*lh, "ResidualBlock_0"), f"{tq}._latentHead.0")
+            mp.attentionBlock((*lh, "AttentionBlock_0"), f"{tq}._latentHead.1")
+            mp.conv((*lh, "Conv_0"), f"{tq}._latentHead.2")
+        td = f"_quantizer._decoders.{lv}"
+        dh = (*q, f"_dequantizationHeads_{lv}")
+        mp.attentionBlock((*dh, "AttentionBlock_0"), f"{td}._dequantizationHead.0")
+        mp.conv((*dh, "Conv_0"), f"{td}._dequantizationHead.1")
+        mp.residualBlock((*dh, "ResidualBlock_0"), f"{td}._dequantizationHead.2")
+        if lv < len(k) - 1:
+            sh = (*q, f"_sideHeads_{lv}")
+            mp.attentionBlock((*sh, "AttentionBlock_0"), f"{td}._sideHead.0")
+            mp.conv((*sh, "Conv_0"), f"{td}._sideHead.1")
+            mp.residualBlock((*sh, "ResidualBlock_0"), f"{td}._sideHead.2")
+        rh = (*q, f"_restoreHeads_{lv}")
+        mp.attentionBlock((*rh, "AttentionBlock_0"), f"{td}._restoreHead.0")
+        mp.residualBlock((*rh, "ResidualBlock_0"), f"{td}._restoreHead.1")
+        mp.residualBlockShuffle((*rh, "ResidualBlockShuffle_0"), f"{td}._restoreHead.2")
+    # ---- freqEMA (entropy coder state)
+    for lv in range(len(k)):
+        mp.add(("coder", "_quantizer", f"freqEMA{lv}"),
+               f"_quantizer._entropyCoder._freqEMA.{lv}")
+    return mp
+
+
+def convertCompressor(stateDict: Dict[str, np.ndarray], channel: int, m: int,
+                      k: List[int], strict: bool = True) -> dict:
+    """torch state-dict -> flax variables {'params':..., 'coder':...}."""
+    mp = buildCompressorMap(channel, m, k)
+    out: dict = {}
+    missing = []
+    for flaxPath, (torchKey, fn) in mp.entries.items():
+        if torchKey not in stateDict:
+            missing.append(torchKey)
+            continue
+        node = out
+        for p in flaxPath[:-1]:
+            node = node.setdefault(p, {})
+        node[flaxPath[-1]] = fn(np.asarray(stateDict[torchKey]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} reference keys missing, e.g. {missing[:5]}")
+    out.setdefault("coder", {})
+    return out
+
+
+def stripTrainerPrefix(stateDict: Dict[str, np.ndarray],
+                       prefix: str = "module._compressor.") -> Dict[str, np.ndarray]:
+    """Reference trainer checkpoints prefix model params with
+    `module._compressor.` (validate/cli.py:40-43); strip + drop lpips."""
+    return {key[len(prefix):]: value for key, value in stateDict.items()
+            if key.startswith(prefix) and "_lpips" not in key}
+
+
+def expectedTorchKeys(channel: int, m: int, k: List[int]) -> List[str]:
+    return [tk for tk, _ in buildCompressorMap(channel, m, k).entries.values()]
+
+
+def main():
+    """CLI: convert a reference torch checkpoint into an exported model.
+
+    usage: python -m mcquic_tpu.utils.convert ref.ckpt out.npz \
+               --channel 128 --m 2 --k 8192,2048,512 --qp 2
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("ckpt")
+    parser.add_argument("out")
+    parser.add_argument("--channel", type=int, required=True)
+    parser.add_argument("--m", type=int, required=True)
+    parser.add_argument("--k", type=str, required=True, help="comma-separated")
+    parser.add_argument("--qp", type=str, default="-1")
+    args = parser.parse_args()
+
+    import torch
+
+    from mcquic_tpu.config import Config
+    from mcquic_tpu.train.saver import exportModel
+
+    k = [int(x) for x in args.k.split(",")]
+    raw = torch.load(args.ckpt, map_location="cpu")
+    # accept: raw state dict | trainer ckpt | exported {model, config}
+    if isinstance(raw, dict) and "trainer" in raw:
+        sd = stripTrainerPrefix(raw["trainer"]["_model"])
+    elif isinstance(raw, dict) and "model" in raw:
+        sd = raw["model"]
+    else:
+        sd = raw
+    sd = {kk: vv.numpy() if hasattr(vv, "numpy") else np.asarray(vv)
+          for kk, vv in sd.items()}
+    variables = convertCompressor(sd, args.channel, args.m, k)
+    cfg = Config.deserialize({"model": {"key": "Compressor", "params": {
+        "channel": args.channel, "m": args.m, "k": k}}})
+    final = exportModel(args.out, variables, cfg.serialize(), qp=args.qp)
+    print(final)
+
+
+if __name__ == "__main__":
+    main()

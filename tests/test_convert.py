@@ -1,0 +1,80 @@
+"""Reference-checkpoint converter: structural bijection with our flax tree."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcquic_tpu.models.compressor import Compressor
+from mcquic_tpu.utils.convert import (buildCompressorMap, convertCompressor,
+                                      expectedTorchKeys, stripTrainerPrefix)
+
+
+def _flatPaths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatPaths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def test_name_map_covers_every_flax_param():
+    channel, m, k = 8, 2, [16, 8]
+    module = Compressor(channel=channel, m=m, k=tuple(k))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x, train=False)
+    flaxPaths = set(_flatPaths({"params": variables["params"],
+                                "coder": variables["coder"]}).keys())
+    mapPaths = set(buildCompressorMap(channel, m, k).entries.keys())
+    onlyFlax = sorted(flaxPaths - mapPaths)
+    onlyMap = sorted(mapPaths - flaxPaths)
+    assert not onlyFlax, f"unmapped flax params: {onlyFlax[:6]}"
+    assert not onlyMap, f"map entries with no flax param: {onlyMap[:6]}"
+    # torch side unique
+    torchKeys = expectedTorchKeys(channel, m, k)
+    assert len(torchKeys) == len(set(torchKeys))
+
+
+def test_convert_synthetic_state_dict_shapes():
+    channel, m, k = 8, 2, [16, 8]
+    module = Compressor(channel=channel, m=m, k=tuple(k))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x, train=False)
+    flat = _flatPaths({"params": variables["params"], "coder": variables["coder"]})
+
+    # build a synthetic torch state dict with reference shapes by inverting
+    # the per-leaf transforms
+    mp = buildCompressorMap(channel, m, k)
+    rng = np.random.default_rng(0)
+    sd = {}
+    for flaxPath, (torchKey, fn) in mp.entries.items():
+        ours = flat[flaxPath]
+        if flaxPath[-1] == "kernel":           # HWIO -> OIHW
+            sd[torchKey] = np.transpose(ours, (3, 2, 0, 1))
+        elif flaxPath[-1] == "gamma":          # [1, in, out] -> [out, in]
+            sd[torchKey] = np.transpose(ours[0], (1, 0))
+        elif "temperature" in flaxPath[-1]:    # [m] -> [m,1,1,1]
+            sd[torchKey] = ours.reshape(-1, 1, 1, 1)
+        else:
+            sd[torchKey] = ours
+    converted = convertCompressor(sd, channel, m, k)
+    convFlat = _flatPaths(converted)
+    for path, val in flat.items():
+        np.testing.assert_allclose(convFlat[path], val, atol=1e-6,
+                                   err_msg=str(path))
+
+
+def test_strip_trainer_prefix():
+    sd = {"module._compressor._encoder.0.weight": np.zeros(1),
+          "module._compressor._lpips.something": np.zeros(1),
+          "other.key": np.zeros(1)}
+    out = stripTrainerPrefix(sd)
+    assert list(out) == ["_encoder.0.weight"]
+
+
+def test_convert_missing_keys_strict():
+    with pytest.raises(KeyError):
+        convertCompressor({}, 8, 2, [16, 8])
