@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache: repeat runs skip the 2-5 min XLA compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcquic_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 ITERS = 50
 BATCH, H, W = 10, 768, 512
 BASELINE_COMBINED = 1.0 / (1.0 / 25.45 + 1.0 / 22.03)  # 11.81 Mpps

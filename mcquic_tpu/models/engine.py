@@ -135,6 +135,50 @@ class CompressorEngine:
         ims = headers[0].ImageSize
         return centerCropTo(restored, ims.height, ims.width)
 
+    # ------------------------------------------------------------- pipelined
+    def compressMany(self, batches) -> List[Tuple[List[List[bytes]], List[FileHeader]]]:
+        """Pipelined multi-batch compression: the host rANS coder for batch i
+        overlaps the device encode of batch i+1 (SURVEY.md §7 hard part #2 —
+        the reference serialized codes through Python lists per image,
+        entropyCoder.py:120-124; here encode is dispatched async and entropy
+        coding runs while the next batch computes)."""
+        import queue
+        import threading
+
+        outQ: "queue.Queue" = queue.Queue()
+        results: List = []
+
+        def ransWorker():
+            while True:
+                item = outQ.get()
+                if item is None:
+                    break
+                codesHost, shape = item
+                binaries, codeSizes = self._coder.compress(codesHost)
+                n, h, w, c = shape
+                headers = [FileHeader(mcquic_tpu.__version__, self._qp, cs,
+                                      ImageSize(height=h, width=w, channel=c))
+                           for cs in codeSizes]
+                results.append((binaries, headers))
+
+        worker = threading.Thread(target=ransWorker, daemon=True)
+        worker.start()
+        pending = None
+        for x in batches:
+            x = np.asarray(x, np.float32)
+            padded = alignedPadding(x, self._base)
+            codesDev = self._encodeJit(self._applyVars(), jnp.asarray(padded))
+            if pending is not None:
+                codesHost, shape = pending
+                outQ.put(([np.asarray(c).transpose(0, 3, 1, 2) for c in codesHost], shape))
+            pending = (codesDev, x.shape)
+        if pending is not None:
+            codesHost, shape = pending
+            outQ.put(([np.asarray(c).transpose(0, 3, 1, 2) for c in codesHost], shape))
+        outQ.put(None)
+        worker.join()
+        return results
+
     # -------------------------------------------------------------- wrappers
     def compressImage(self, img: np.ndarray) -> File:
         """uint8 HWC image -> `.mcq` File (demo.py:109-122)."""

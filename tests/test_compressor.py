@@ -140,3 +140,15 @@ def test_plain_coder_mode(tinyV1):
     # rANS mode is strictly smaller than plain for the same codes
     ransBin, _ = tinyV1.coder.compress(codes)
     assert sum(map(len, ransBin[0])) < sum(map(len, binaries[0]))
+
+
+def test_compress_many_pipelined(tinyV1):
+    """Pipelined multi-batch path matches per-batch compress results."""
+    rng = np.random.default_rng(9)
+    batches = [rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32) for _ in range(3)]
+    results = tinyV1.compressMany(batches)
+    assert len(results) == 3
+    for x, (binaries, headers) in zip(batches, results):
+        _, refBin, refHdr = tinyV1.compress(x)
+        assert binaries == refBin
+        assert headers[0].ImageSize.height == refHdr[0].ImageSize.height
