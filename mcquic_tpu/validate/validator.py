@@ -21,6 +21,23 @@ from mcquic_tpu.models.engine import CompressorEngine
 from mcquic_tpu.validate.metrics import msSSIM, psnr
 
 
+def visualizeCodeMaps(codes) -> list:
+    """Code-index maps -> uint8 RGB images (reference visualizeIntermediate,
+    validator.py:30-38): indices are hashed into hues so neighboring codes
+    get distinct colors; one image per (level, group)."""
+    import colorsys
+    out = []
+    for code in codes:  # [n, m, h, w]
+        n, m, h, w = code.shape
+        for g in range(m):
+            idx = code[:, g].astype(np.int64)
+            hue = (idx * 0.61803398875) % 1.0
+            rgb = np.stack([np.vectorize(lambda x, c=c: colorsys.hsv_to_rgb(x, 0.8, 0.95)[c])(hue)
+                            for c in range(3)], -1)
+            out.append((rgb * 255).astype(np.uint8))
+    return out
+
+
 class Validator:
     def __init__(self, engine: CompressorEngine):
         self._engine = engine
