@@ -88,6 +88,7 @@ class Trainer:
         # (reference auto-resume semantics, train/cli.py:31-39).
         self._saver = Saver(train.SaveDir) if train.SaveDir else None
         self._resumePath = self._saver.PreviousCkpt if self._saver else None
+        self._bestDistortion = float("-inf")
         self._hooks = _buildHooks(train)
 
     # ------------------------------------------------------------------ state
@@ -147,6 +148,13 @@ class Trainer:
         total = train.TotalStep
         valFreq = train.ValFreq
         saveFreq = max(valFreq // 10, 1)
+        if onStep is None:
+            # wandb project parity (reference trainer.py:319-344); degrades to
+            # stdlib logging when wandb is unavailable.
+            from mcquic_tpu.train.logging import MetricsLogger
+            metricsLogger = MetricsLogger(project="mcquic-stage-1",
+                                          config=self._config.serialize())
+            onStep = lambda step, m: metricsLogger.log(step, m)
         step = int(self._state.step)
         epoch = 0
         lastLog = time.time()
@@ -168,11 +176,31 @@ class Trainer:
                     hook(self, step)
                 if step % saveFreq == 0:
                     self.save()
+                if valLoader is not None and step % valFreq == 0:
+                    results = self.validate(valLoader)
+                    logger.info("step %d validation: %s", step, results)
+                    if onStep is not None:
+                        onStep(step, {f"val/{k}": v for k, v in results.items()})
+                    if self._saver is not None and results.get("msssim", 0) > self._bestDistortion:
+                        self._bestDistortion = results["msssim"]
+                        from mcquic_tpu.train.saver import saveTree
+                        saveTree(self._saver.SaveDir / f"best.ckpt.npz",
+                                 {"params": jax.device_get(self._state.params),
+                                  "coder": jax.device_get(self._state.coder)},
+                                 {"config": self._config.serialize(), "step": step})
                 if step >= total:
                     break
             epoch += 1
         self.save()
         return self._state
+
+    def validate(self, valLoader) -> dict:
+        """Real-coder validation with current weights (reference
+        trainer.py:495-529 validate-and-save-best)."""
+        from mcquic_tpu.models.engine import CompressorEngine
+        from mcquic_tpu.validate.validator import Validator
+        engine = CompressorEngine(self._module, self.variables(), qp="train")
+        return Validator(engine).validate(valLoader)
 
     def reassignCodebooks(self) -> float:
         self._state, prop = jax.jit(

@@ -67,6 +67,16 @@ def msSSIM(x, y, dataRange: float = 255.0, winSize: int = 11, winSigma: float = 
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     win = _fspecialGauss1d(winSize, winSigma)
+    # Truncate scales for small images (each level halves; the gaussian needs
+    # winSize pixels) and renormalize the weights.
+    minSide = min(x.shape[1], x.shape[2])
+    maxLevels = 1
+    side = minSide
+    while side // 2 >= winSize and maxLevels < len(weights):
+        maxLevels += 1
+        side //= 2
+    weights = list(weights[:maxLevels])
+    weights = [w / sum(weights) for w in weights]
     weightsArr = jnp.asarray(weights, jnp.float32)
     levels = len(weights)
     mcs = []

@@ -1,0 +1,50 @@
+"""GenTrainer: frozen-compressor masking + one training step on the mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcquic_tpu.config import Config
+from mcquic_tpu.models.generator import GeneratorV3SelfAttention
+from mcquic_tpu.train.genTrainer import GenTrainer
+
+
+def _cfg(tmp):
+    return Config.deserialize({
+        "model": {"key": "GeneratorV3SelfAttention",
+                  "params": {"channel": 8, "k": 16, "size": [2, 1],
+                             "denseNorm": False, "qk_norm": True,
+                             "norm_eps": 1e-5, "hiddenSize": 32, "depth": 2,
+                             "nHeads": 4, "numClasses": 10}},
+        "train": {
+            "totalStep": 2, "batchSize": 1, "epoch": 1, "valFreq": 10,
+            "trainSet": "unused", "valSet": "unused", "saveDir": str(tmp / "gen_saved"),
+            "target": "MsSSIM",
+            "optim": {"key": "Adam", "params": {"lr": 1e-4}},
+            "schdr": {"key": "Placeholder", "params": {}},
+            "gpu": {"gpus": 8},
+        },
+    })
+
+
+def test_gen_trainer_step_and_frozen_compressor(tmp_path):
+    trainer = GenTrainer(_cfg(tmp_path), imageSize=32)
+    before = jax.device_get(trainer.state.params["compressor"])
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, 8).astype(np.int32)
+    m1 = trainer.trainStep(images, labels)
+    m2 = trainer.trainStep(images, labels)
+    assert np.isfinite(float(m1["loss"]))
+    assert "ceLv00" in m1 and "ceLv01" in m1
+    after = jax.device_get(trainer.state.params["compressor"])
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)  # frozen subtree untouched
+    # the transformer DID move
+    tBefore = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params["transformer"]))
+    assert int(trainer.state.step) == 2
+    trainer.save()
+    # resume round-trip
+    trainer2 = GenTrainer(_cfg(tmp_path), imageSize=32)
+    assert trainer2.tryResume()
+    assert int(trainer2.state.step) == 2
