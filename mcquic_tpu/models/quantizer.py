@@ -243,8 +243,11 @@ class ResidualBackwardQuantizer(nn.Module):
             code = vqEncode(groupLatent(residual, 1), self._codebook)
             quantized = vqDequantizeCodes(code, self._codebook)
             codes.append(code)
-            if self._backwards[i] is not None:
-                currentLatent = self._backwards[i](quantized)
+            # The last-constructed (smallest) level's backward is Identity in
+            # the reference (quantizer.py:616/641), NOT a skip: currentLatent
+            # becomes the quantized value itself.
+            currentLatent = (self._backwards[i](quantized)
+                             if self._backwards[i] is not None else quantized)
         return codes
 
     def decode(self, codes):
@@ -271,6 +274,8 @@ class ResidualBackwardQuantizer(nn.Module):
         """(quantizer.py:671-674). level counts from 1 = smallest."""
         i = len(self.size) - level
         quantized = vqDequantizeCodes(code, self._codebook)
+        if self._backwards[i] is None:  # Identity at the smallest level
+            return quantized
         return self._backwards[i](quantized)
 
     # --------------------------------------------------------------- training
@@ -296,8 +301,8 @@ class ResidualBackwardQuantizer(nn.Module):
             codes.append(code)
             oneHots.append(oneHot)
             logits.append(logit)
-            if self._backwards[i] is not None:
-                currentLatent = self._backwards[i](quantized)
+            currentLatent = (self._backwards[i](quantized)
+                             if self._backwards[i] is not None else quantized)
 
         formerLevel = jnp.zeros_like(quantizeds[0])
         for lv in range(L):

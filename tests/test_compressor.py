@@ -21,8 +21,10 @@ def tinyV1():
 @pytest.fixture(scope="module")
 def tinyNeon():
     # input 64 -> outer encoder /8 -> latent 8; size[0]=4 halves it, then
-    # halve/equal/halve down to 1 (reference size-spec rule, quantizer.py:596-650).
-    module = Neon(channel=8, k=16, size=(4, 2, 2, 1), denseNorm=False, useRemat=False)
+    # halve/equal/halve/equal down to 1 (reference size-spec rule: the list
+    # must end with an equal-size level because the smallest level's backward
+    # is Identity, quantizer.py:596-650).
+    module = Neon(channel=8, k=16, size=(4, 2, 2, 1, 1), denseNorm=False, useRemat=False)
     x = jnp.zeros((1, 64, 64, 3))
     variables = module.init({"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
                             x, train=False)
@@ -74,7 +76,7 @@ def test_neon_roundtrip_codes_lossless(tinyNeon):
     rng = np.random.default_rng(4)
     img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
     codes, binaries, headers = tinyNeon.compress(img)
-    assert len(binaries[0]) == 4  # 4 scales
+    assert len(binaries[0]) == 5  # 5 scales
     # scales are small->large: heights must be non-decreasing
     hs = headers[0].CodeSize.heights
     assert hs == sorted(hs)
@@ -103,7 +105,7 @@ def test_v1_training_forward():
 
 
 def test_neon_training_forward_and_grads():
-    module = Neon(channel=8, k=16, size=(2, 1), denseNorm=False, useRemat=False)
+    module = Neon(channel=8, k=16, size=(2, 1, 1), denseNorm=False, useRemat=False)
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
     variables = module.init({"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
                             x, train=True)

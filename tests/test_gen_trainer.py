@@ -12,7 +12,7 @@ from mcquic_tpu.train.genTrainer import GenTrainer
 def _cfg(tmp):
     return Config.deserialize({
         "model": {"key": "GeneratorV3SelfAttention",
-                  "params": {"channel": 8, "k": 16, "size": [2, 1],
+                  "params": {"channel": 8, "k": 16, "size": [2, 1, 1],
                              "denseNorm": False, "qk_norm": True,
                              "norm_eps": 1e-5, "hiddenSize": 32, "depth": 2,
                              "nHeads": 4, "numClasses": 10}},

@@ -11,7 +11,7 @@ from mcquic_tpu.models.generator import GeneratorV3SelfAttention, blockCausalMas
 def tinyGen():
     # input 32 -> outer /8 -> 4; size (2,1): halve to 2, halve to 1.
     module = GeneratorV3SelfAttention(
-        channel=8, k=16, size=(2, 1), denseNorm=False,
+        channel=8, k=16, size=(2, 1, 1), denseNorm=False,
         hiddenSize=32, depth=2, nHeads=4, numClasses=10)
     img = jnp.zeros((2, 32, 32, 3))
     lbl = jnp.zeros((2,), jnp.int32)
@@ -36,11 +36,12 @@ def test_generator_training_forward(tinyGen):
     lbl = jnp.asarray([3, 7], jnp.int32)
     predictions, loss, codes, restored, perLevel = module.apply(
         variables, img, lbl, train=True)
-    assert len(predictions) == 2 and len(codes) == 2
+    assert len(predictions) == 3 and len(codes) == 3
     assert predictions[0].shape == (2, 1, 1, 16)   # smallest level, k=16
-    assert predictions[1].shape == (2, 2, 2, 16)
+    assert predictions[1].shape == (2, 1, 1, 16)
+    assert predictions[2].shape == (2, 2, 2, 16)
     assert jnp.isfinite(loss)
-    assert len(perLevel) == 2
+    assert len(perLevel) == 3
 
 
 def test_generator_frozen_compressor_gets_no_grads(tinyGen):
@@ -66,8 +67,9 @@ def test_generator_sampling(tinyGen):
     predictions, restored = module.apply(
         variables, lbl, rng=jax.random.PRNGKey(4), temperature=1.0, topK=4,
         method=module.generate)
-    assert len(predictions) == 2
+    assert len(predictions) == 3
     assert predictions[0].shape == (2, 1, 1, 1)
-    assert predictions[1].shape == (2, 2, 2, 1)
+    assert predictions[1].shape == (2, 1, 1, 1)
+    assert predictions[2].shape == (2, 2, 2, 1)
     assert restored.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(restored)).all()

@@ -9,7 +9,7 @@ from mcquic_tpu.models.generator_var import GeneratorVAR, levelCausalBias
 
 @pytest.fixture(scope="module")
 def tinyVar():
-    module = GeneratorVAR(channel=8, k=16, size=(2, 1), denseNorm=False,
+    module = GeneratorVAR(channel=8, k=16, size=(2, 1, 1), denseNorm=False,
                           depth=2, embedDim=32, nHeads=4, numClasses=10)
     img = jnp.zeros((2, 32, 32, 3))
     lbl = jnp.zeros((2,), jnp.int32)
@@ -32,9 +32,9 @@ def test_var_training_forward(tinyVar):
     lbl = jnp.asarray([1, 2], jnp.int32)
     logits, loss, codes, restored, perLevel = module.apply(
         variables, img, lbl, train=True, rngs={"gumbel": jax.random.PRNGKey(3)})
-    assert logits.shape == (2, 1 + 4, 16)  # L = 1 + 4, k = 16
+    assert logits.shape == (2, 1 + 1 + 4, 16)  # L = 1+1+4, k = 16
     assert jnp.isfinite(loss)
-    assert len(perLevel) == 2
+    assert len(perLevel) == 3
 
 
 def test_var_cfg_sampling(tinyVar):
@@ -43,8 +43,9 @@ def test_var_cfg_sampling(tinyVar):
     predictions, restored = module.apply(
         variables, lbl, jax.random.PRNGKey(4), cfg=1.5, topK=4, topP=0.9,
         method=module.generate)
-    assert len(predictions) == 2
+    assert len(predictions) == 3
     assert predictions[0].shape == (2, 1, 1, 1)
-    assert predictions[1].shape == (2, 2, 2, 1)
+    assert predictions[1].shape == (2, 1, 1, 1)
+    assert predictions[2].shape == (2, 2, 2, 1)
     assert restored.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(restored)).all()
