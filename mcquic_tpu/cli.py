@@ -31,6 +31,7 @@ class DefaultGroup(click.Group):
 
 
 @click.group(cls=DefaultGroup, invoke_without_command=True, help=_banner())
+@click.version_option(mcquic_tpu.__version__, "--version", "-V", message=_banner())
 @click.pass_context
 def entryPoint(ctx):
     if ctx.invoked_subcommand is None and not ctx.args:
@@ -99,6 +100,25 @@ def dataset(debug, quiet, jobs, gen, images, output):
     _setupLogging(debug, quiet)
     from mcquic_tpu.data.cli import main
     main(images, output, jobs=jobs, gen=gen)
+
+
+@entryPoint.command()
+@click.option("-D", "--debug", is_flag=True)
+@click.option("-q", "--quiet", is_flag=True)
+@click.option("-c", "--classes", type=str, required=True,
+              help="Comma-separated ImageNet class ids to sample.")
+@click.option("--cfg", type=float, default=1.5, help="Classifier-free guidance (VAR).")
+@click.option("--top-k", type=int, default=0)
+@click.option("--temperature", type=float, default=1.0)
+@click.option("--seed", type=int, default=0)
+@click.argument("modelPath", type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path))
+@click.argument("output", type=click.Path(file_okay=False, path_type=pathlib.Path))
+def generate(debug, quiet, classes, cfg, top_k, temperature, seed, modelpath, output):
+    """Sample images from a trained stage-2 generator (reference test_infer.py)."""
+    _setupLogging(debug, quiet)
+    from mcquic_tpu.generate import main
+    main(modelpath, [int(c) for c in classes.split(",")], output,
+         cfg=cfg, topK=top_k, temperature=temperature, seed=seed)
 
 
 if __name__ == "__main__":

@@ -55,3 +55,34 @@ def test_cli_help_of_every_subcommand():
     for sub in ([], ["train"], ["validate"], ["dataset"]):
         res = runner.invoke(entryPoint, sub + ["--help"])
         assert res.exit_code == 0
+
+
+def test_cli_generate_subcommand(tmp_path):
+    """End-to-end `mcquic generate` on a tiny generator checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcquic_tpu.cli import entryPoint
+    from mcquic_tpu.config import Config
+    from mcquic_tpu.models.generator import GeneratorV3SelfAttention
+    from mcquic_tpu.train.saver import saveTree
+
+    module = GeneratorV3SelfAttention(channel=8, k=16, size=(2, 1, 1),
+                                      hiddenSize=32, depth=1, nHeads=4, numClasses=10)
+    img = jnp.zeros((1, 32, 32, 3))
+    lbl = jnp.zeros((1,), jnp.int32)
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, img, lbl, train=True)
+    cfg = Config.deserialize({"model": {"key": "GeneratorV3SelfAttention", "params": {
+        "channel": 8, "k": 16, "size": [2, 1, 1], "hiddenSize": 32,
+        "depth": 1, "nHeads": 4, "numClasses": 10}}})
+    ckpt = tmp_path / "gen.npz"
+    saveTree(ckpt, {"params": variables["params"], "coder": variables["coder"]},
+             {"config": cfg.serialize()})
+
+    runner = CliRunner()
+    outDir = tmp_path / "samples"
+    res = runner.invoke(entryPoint, ["generate", "-c", "1,3", str(ckpt), str(outDir)],
+                        catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert len(list(outDir.glob("*.png"))) == 2
