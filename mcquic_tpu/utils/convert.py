@@ -148,6 +148,102 @@ def buildCompressorMap(channel: int, m: int, k: List[int]) -> _Map:
     return mp
 
 
+def buildNeonMap(channel: int, k: int, size: List[int], denseNorm: bool = False) -> _Map:
+    """Name map for the v2 `Neon` tokenizer (reference compressor.py:181-233 +
+    ResidualBackwardQuantizer, quantizer.py:577-765)."""
+    mp = _Map()
+    dn = denseNorm
+    # ---- encoder (compressor.py:186-207): 16 sequential stages
+    e = ("params", "_encoder")
+    mp.conv((*e, "Conv_0"), "_encoder.0")
+    mp.attentionBlock((*e, "AttentionBlock_0"), "_encoder.1", dn)
+    encResIdx = [2, 3, 5, 7, 10, 11, 12, 13, 14]
+    for fi, ti in enumerate(encResIdx):
+        mp.residualBlock((*e, f"ResidualBlock_{fi}"), f"_encoder.{ti}", dn,
+                         skip=ti in (10, 14))  # channel changes at .10 and .14
+    for fi, ti in enumerate([4, 6, 8]):
+        mp.residualBlockStride((*e, f"ResidualBlockWithStride_{fi}"), f"_encoder.{ti}")
+    mp.attentionBlock((*e, "AttentionBlock_1"), "_encoder.9", dn)
+    mp.attentionBlock((*e, "AttentionBlock_2"), "_encoder.15", dn)
+    # ---- decoder (compressor.py:208-228): 17 sequential stages
+    d = ("params", "_decoder")
+    mp.attentionBlock((*d, "AttentionBlock_0"), "_decoder.0", dn)
+    decResIdx = [1, 2, 3, 4, 5, 7, 9, 11, 13, 14]
+    for fi, ti in enumerate(decResIdx):
+        mp.residualBlock((*d, f"ResidualBlock_{fi}"), f"_decoder.{ti}", dn,
+                         skip=ti in (1, 5))  # channel changes at .1 and .5
+    for fi, ti in enumerate([8, 10, 12]):
+        mp.residualBlockShuffle((*d, f"ResidualBlockShuffle_{fi}"), f"_decoder.{ti}")
+    mp.attentionBlock((*d, "AttentionBlock_1"), "_decoder.6", dn)
+    mp.attentionBlock((*d, "AttentionBlock_2"), "_decoder.15", dn)
+    mp.conv((*d, "Conv_0"), "_decoder.16")
+    # ---- quantizer (shared codebook + per-level stacks)
+    q = ("params", "_quantizer")
+    L = len(size)
+    mp.add((*q, "codebook"), "_quantizer._quantizers.0._codebook")
+    # temperature stacked [L, 1] from per-level [1,1,1,1] params — handled in
+    # convertNeon directly (multi-source); freqEMA likewise.
+    lastSize = size[0] * 2
+    for i, thisSize in enumerate(size):
+        halving = thisSize == lastSize // 2
+        lastSize = thisSize
+        enc = (*q, f"_encoders_{i}")
+        tq = f"_quantizer._encoders.{i}"
+        mp.residualBlock((*enc, "ResidualBlock_0"), f"{tq}.0", dn, skip=True)  # ch->4ch
+        mp.attentionBlock((*enc, "AttentionBlock_0"), f"{tq}.1", dn)
+        if halving:
+            mp.residualBlockStride((*enc, "ResidualBlockWithStride_0"), f"{tq}.2")
+        else:
+            mp.residualBlock((*enc, "ResidualBlock_1"), f"{tq}.2", dn)
+        mp.conv((*enc, "Conv_0"), f"{tq}.3", bias=False)
+
+        def upStack(flaxBase, torchBase):
+            mp.conv((*flaxBase, "Conv_0"), f"{torchBase}.0", bias=False)
+            if halving:
+                mp.residualBlockShuffle((*flaxBase, "ResidualBlockShuffle_0"),
+                                        f"{torchBase}.1")
+                lastRes = "ResidualBlock_0"
+            else:
+                mp.residualBlock((*flaxBase, "ResidualBlock_0"), f"{torchBase}.1", dn)
+                lastRes = "ResidualBlock_1"
+            mp.attentionBlock((*flaxBase, "AttentionBlock_0"), f"{torchBase}.2", dn)
+            mp.residualBlock((*flaxBase, lastRes), f"{torchBase}.3", dn, skip=True)  # 4ch->ch
+
+        if i < L - 1:
+            upStack((*q, f"_backwards_{i}"), f"_quantizer._backwards.{i}")
+        upStack((*q, f"_decoders_{i}"), f"_quantizer._decoders.{i}")
+    return mp
+
+
+def convertNeon(stateDict: Dict[str, np.ndarray], channel: int, k: int,
+                size: List[int], denseNorm: bool = False, strict: bool = True) -> dict:
+    """torch Neon state-dict -> flax variables {'params', 'coder'}."""
+    mp = buildNeonMap(channel, k, size, denseNorm)
+    out: dict = {}
+    missing = []
+    for flaxPath, (torchKey, fn) in mp.entries.items():
+        if torchKey not in stateDict:
+            missing.append(torchKey)
+            continue
+        node = out
+        for p in flaxPath[:-1]:
+            node = node.setdefault(p, {})
+        node[flaxPath[-1]] = fn(np.asarray(stateDict[torchKey]))
+    if strict and missing:
+        raise KeyError(f"{len(missing)} reference keys missing, e.g. {missing[:5]}")
+    L = len(size)
+    # stacked temperature [L, 1]: our row lv corresponds to processed order
+    # (0 = smallest scale) = reference construction index L-1-lv
+    temps = [np.asarray(stateDict[f"_quantizer._quantizers.{L - 1 - lv}._temperature"]).reshape(-1)
+             for lv in range(L)]
+    out["params"]["_quantizer"]["temperature"] = np.stack(temps)
+    # stacked freqEMA [L, 1, k]: entropy-coder order is small->large
+    freqs = [np.asarray(stateDict[f"_quantizer._entropyCoder._freqEMA.{i}"])
+             for i in range(L)]
+    out.setdefault("coder", {})["_quantizer"] = {"freqEMA": np.stack(freqs)}
+    return out
+
+
 def convertCompressor(stateDict: Dict[str, np.ndarray], channel: int, m: int,
                       k: List[int], strict: bool = True) -> dict:
     """torch state-dict -> flax variables {'params':..., 'coder':...}."""

@@ -78,3 +78,59 @@ def test_strip_trainer_prefix():
 def test_convert_missing_keys_strict():
     with pytest.raises(KeyError):
         convertCompressor({}, 8, 2, [16, 8])
+
+
+def test_neon_name_map_covers_every_flax_param():
+    from mcquic_tpu.models.compressor import Neon
+    from mcquic_tpu.utils.convert import buildNeonMap
+
+    channel, k, size = 8, 16, [4, 2, 2, 1, 1]
+    module = Neon(channel=channel, k=k, size=tuple(size), useRemat=False)
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x, train=False)
+    flaxPaths = set(_flatPaths({"params": variables["params"]}).keys())
+    mapPaths = set(buildNeonMap(channel, k, size).entries.keys())
+    # temperature + freqEMA handled separately by convertNeon
+    flaxPaths.discard(("params", "_quantizer", "temperature"))
+    onlyFlax = sorted(flaxPaths - mapPaths)
+    onlyMap = sorted(mapPaths - flaxPaths)
+    assert not onlyFlax, f"unmapped flax params: {onlyFlax[:8]}"
+    assert not onlyMap, f"map entries with no flax param: {onlyMap[:8]}"
+
+
+def test_convert_neon_synthetic():
+    from mcquic_tpu.models.compressor import Neon
+    from mcquic_tpu.utils.convert import buildNeonMap, convertNeon
+
+    channel, k, size = 8, 16, [2, 1, 1]
+    module = Neon(channel=channel, k=k, size=tuple(size), useRemat=False)
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x, train=False)
+    flat = _flatPaths({"params": variables["params"], "coder": variables["coder"]})
+
+    mp = buildNeonMap(channel, k, size)
+    sd = {}
+    for flaxPath, (torchKey, fn) in mp.entries.items():
+        ours = flat[flaxPath]
+        if flaxPath[-1] == "kernel":
+            sd[torchKey] = np.transpose(ours, (3, 2, 0, 1))
+        elif flaxPath[-1] == "gamma":
+            sd[torchKey] = np.transpose(ours[0], (1, 0))
+        else:
+            sd[torchKey] = ours
+    L = len(size)
+    temp = flat[("params", "_quantizer", "temperature")]
+    freq = flat[("coder", "_quantizer", "freqEMA")]
+    for i in range(L):
+        sd[f"_quantizer._quantizers.{i}._temperature"] = temp[L - 1 - i].reshape(1, 1, 1, 1)
+        sd[f"_quantizer._entropyCoder._freqEMA.{i}"] = freq[i]
+    converted = convertNeon(sd, channel, k, size)
+    convFlat = _flatPaths(converted)
+    for path, val in flat.items():
+        np.testing.assert_allclose(convFlat[path], val, atol=1e-6, err_msg=str(path))
