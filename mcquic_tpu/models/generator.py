@@ -85,7 +85,11 @@ class AnyResAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, yFeat, posEmbed):
+    def __call__(self, x, mask, yFeat, posEmbed, cache=None, offset: int = 0):
+        """cache: optional (k, v) arrays [bs, Lmax, H, hd] for KV-cached
+        sampling — new keys/values are written at [offset, offset+seq) and
+        attention spans the whole cached prefix (block-causal structure makes
+        a mask unnecessary during per-level decoding). Returns (out, cache)."""
         bs, seq, dim = x.shape
         headDim = dim // self.nHeads
         wq = nn.Dense(dim, use_bias=False, dtype=self.dtype, name="wq")
@@ -106,11 +110,23 @@ class AnyResAttention(nn.Module):
         xk = xk + pos
 
         scale = 1.0 / math.sqrt(headDim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", xq, xk,
-                            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask[None, None].astype(bool), logits, -1e9)
-        probs = jax.nn.softmax(logits, -1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, xv)
+        if cache is not None:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice(ck, xk.astype(ck.dtype), (0, offset, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, xv.astype(cv.dtype), (0, offset, 0, 0))
+            cache = (ck, cv)
+            kAll = ck[:, :offset + seq]
+            vAll = cv[:, :offset + seq]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", xq, kAll,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, -1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vAll)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", xq, xk,
+                                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask[None, None].astype(bool), logits, -1e9)
+            probs = jax.nn.softmax(logits, -1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, xv)
 
         # gated cross-attention to condition features [bs, yLen, yDim]
         yLen = yFeat.shape[1]
@@ -128,7 +144,7 @@ class AnyResAttention(nn.Module):
         yOut = jnp.einsum("bhqk,bkhd->bqhd", yProbs, yv)
         yOut = yOut * jnp.tanh(gate).astype(self.dtype)[None, None, :, None]
         out = (out + yOut).reshape(bs, seq, dim)
-        return wo(out)
+        return wo(out), cache
 
 
 def _modulate(x, shift, scale):
@@ -143,7 +159,7 @@ class AnyResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, yEmb, yFeat, posEmbed):
+    def __call__(self, x, mask, yEmb, yFeat, posEmbed, cache=None, offset: int = 0):
         dim = x.shape[-1]
         ada = nn.Dense(6 * dim, dtype=self.dtype, name="adaLN",
                        kernel_init=nn.initializers.zeros)(nn.silu(yEmb))
@@ -155,14 +171,15 @@ class AnyResBlock(nn.Module):
         ffnNorm1 = RMSNorm(self.normEps, self.dtype, name="ffnNorm1")
         yNorm = RMSNorm(self.normEps, self.dtype, name="attentionYNorm")
 
-        attnOut = AnyResAttention(self.nHeads, self.qkNorm, self.normEps,
-                                  self.dtype, name="attention")(
-            _modulate(attnNorm(x), sMsa, scMsa), mask, yNorm(yFeat), posEmbed)
+        attnOut, cache = AnyResAttention(self.nHeads, self.qkNorm, self.normEps,
+                                         self.dtype, name="attention")(
+            _modulate(attnNorm(x), sMsa, scMsa), mask, yNorm(yFeat), posEmbed,
+            cache=cache, offset=offset)
         x = x + attnNorm1(gMsa[:, None] * attnOut)
         ffnOut = SwiGLU(4 * dim, self.dtype, name="ffn")(
             _modulate(ffnNorm(x), sMlp, scMlp))
         x = x + ffnNorm1(gMlp[:, None] * ffnOut)
-        return x
+        return x, cache
 
 
 class AnyResTransformer(nn.Module):
@@ -177,15 +194,24 @@ class AnyResTransformer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens, mask, capPooled, capCond):
-        """tokens [bs, L, hidden-dim-in]; capPooled/capCond [bs, hidden]."""
+    def __call__(self, tokens, mask, capPooled, capCond, caches=None, offset: int = 0):
+        """tokens [bs, L, hidden-dim-in]; capPooled/capCond [bs, hidden].
+
+        With `caches` (per-block (k, v) arrays), runs in KV-cached decode mode
+        over the token slice starting at `offset` and returns (logits, caches);
+        without, runs the full block-causal teacher-forced pass.
+        """
         hs = self.hiddenSize
         x = nn.LayerNorm(dtype=self.dtype, name="tokenNorm")(tokens)
         x = nn.Dense(hs, dtype=self.dtype, name="tokenEmbed")(x)
 
         numPatches = self.canvasSize * self.canvasSize * 64
         posTable = self.param("posEmbed", _truncInit(2 / (5 * hs)), (numPatches, hs))
-        posEmbed = jax.lax.stop_gradient(posTable)[:x.shape[1]]
+        posAll = jax.lax.stop_gradient(posTable)
+        if caches is None:
+            posEmbed = posAll[:x.shape[1]]
+        else:
+            posEmbed = jax.lax.dynamic_slice_in_dim(posAll, offset, x.shape[1], 0)
 
         capEmbN = nn.LayerNorm(dtype=self.dtype, name="capNorm")(capPooled)
         capEmb = nn.Dense(hs, dtype=self.dtype, name="capEmbed",
@@ -194,11 +220,15 @@ class AnyResTransformer(nn.Module):
         capCondEmb = nn.Dense(hs, dtype=self.dtype, name="capCondEmbed")(capCondN)
         yFeat = capCondEmb[:, None]  # single-token condition sequence
 
+        newCaches = [] if caches is not None else None
         for i in range(self.depth):
             blk = AnyResBlock(self.nHeads, self.qkNorm, self.normEps, self.dtype,
                               name=f"block{i}")
-            x = nn.remat(type(blk).__call__, static_argnums=())(blk, x, mask, capEmb, yFeat, posEmbed) \
-                if False else blk(x, mask, capEmb, yFeat, posEmbed)
+            x, cache = blk(x, mask, capEmb, yFeat, posEmbed,
+                           cache=None if caches is None else caches[i],
+                           offset=offset)
+            if newCaches is not None:
+                newCaches.append(cache)
 
         # FinalLayer (generator_3.py:650-712)
         ada = nn.Dense(2 * hs, dtype=self.dtype, name="finalAdaLN",
@@ -209,6 +239,8 @@ class AnyResTransformer(nn.Module):
         x = _modulate(x, shift, scale)
         logits = nn.Dense(self.vocabSize, dtype=jnp.float32, name="finalLinear",
                           kernel_init=_truncInit(0.02 * (2 / (5 * hs)) ** 0.5))(x)
+        if newCaches is not None:
+            return logits, newCaches
         return logits
 
 
@@ -377,39 +409,74 @@ class GeneratorV3SelfAttention(nn.Module):
 
     # ------------------------------------------------------------- inference
     def generate(self, condition, rng=None, temperature: float = 1.0,
-                 topK: int = 0):
+                 topK: int = 0, kvCache: bool = True):
         """AR next-scale sampling (generator_3_self_attn.py:315-387).
 
-        Re-runs the block-causal transformer on the growing prefix each level
-        (reference behavior); returns codes (small→large) and the restored
-        image from the frozen compressor.
+        Default: KV-cached per-level decoding (each level runs the
+        transformer only over its own tokens; keys/values of earlier levels
+        are cached — the block-causal structure makes this exact). With
+        `kvCache=False`, re-runs the full growing prefix each level (the
+        reference's behavior) — useful as an equivalence oracle.
+        Returns (codes small→large, restored image from the frozen decoder).
         """
         bs = condition.shape[0]
         capPooled = self._condEmbed(condition)
         L = len(self._lengths)
+        hs = self.hiddenSize
+        hd = hs // self.nHeads
+        total = sum(self._lengths)
+
+        caches = None
+        if kvCache:
+            caches = [(jnp.zeros((bs, total, self.nHeads, hd), self.dtype),
+                       jnp.zeros((bs, total, self.nHeads, hd), self.dtype))
+                      for _ in range(self.depth)]
+
+        def sampleTokens(levelLogits, rng):
+            if rng is None:
+                return jnp.argmax(levelLogits, -1), rng
+            rng, sub = jax.random.split(rng)
+            scaled = levelLogits / max(temperature, 1e-6)
+            if topK > 0:
+                kth = jnp.sort(scaled, -1)[..., -topK][..., None]
+                scaled = jnp.where(scaled < kth, -1e9, scaled)
+            return jax.random.categorical(sub, scaled), rng
 
         predictions = []
         scaffolds = []
         former = None
+        offset = 0
         for level in range(L):
-            seq = self._assembleSequence(scaffolds, capPooled, bs)
-            prefixLen = seq.shape[1]
-            mask = self._mask[:prefixLen, :prefixLen]
-            logits = self.transformer(seq, mask, capPooled, capPooled)
             hw = self._lengths[level]
-            levelLogits = logits[:, prefixLen - hw:]                  # [bs, hw, k]
-            if rng is None:
-                token = jnp.argmax(levelLogits, -1)
+            if kvCache:
+                # per-level input tokens only (same construction as training's
+                # _assembleSequence for this block)
+                if level == 0:
+                    h0 = w0 = int(math.isqrt(hw))
+                    tok = self._centerPosEmbed(h0, w0)[None] \
+                        + self.capToFirst(self.capToFirstNorm(capPooled))[:, None] \
+                        + self.levelEmbed[0]
+                    tok = jnp.broadcast_to(tok, (bs, hw, tok.shape[-1]))
+                else:
+                    n, h, w, c = former.shape
+                    tok = (former.reshape(n, h * w, c)
+                           + self.levelEmbed[level]).astype(jnp.float32)
+                logits, caches = self.transformer(tok.astype(self.dtype), None,
+                                                  capPooled, capPooled,
+                                                  caches=caches, offset=offset)
+                levelLogits = logits
             else:
-                rng, sub = jax.random.split(rng)
-                scaled = levelLogits / max(temperature, 1e-6)
-                if topK > 0:
-                    kth = jnp.sort(scaled, -1)[..., -topK][..., None]
-                    scaled = jnp.where(scaled < kth, -1e9, scaled)
-                token = jax.random.categorical(sub, scaled)
+                seq = self._assembleSequence(scaffolds, capPooled, bs)
+                prefixLen = seq.shape[1]
+                mask = self._mask[:prefixLen, :prefixLen]
+                logits = self.transformer(seq, mask, capPooled, capPooled)
+                levelLogits = logits[:, prefixLen - hw:]              # [bs, hw, k]
+
+            token, rng = sampleTokens(levelLogits, rng)
             h = w = int(math.isqrt(hw))
             code = token.reshape(bs, h, w, 1).astype(jnp.int32)
             predictions.append(code)
+            offset += hw
             if level < L - 1:
                 former = self.residual_forward(code, former, level)
                 scaffolds.append(former)

@@ -73,3 +73,16 @@ def test_generator_sampling(tinyGen):
     assert predictions[2].shape == (2, 2, 2, 1)
     assert restored.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(restored)).all()
+
+
+def test_kv_cached_sampling_matches_full_prefix(tinyGen):
+    """KV-cached decode must be exact vs the full-prefix rerun (greedy)."""
+    module, variables = tinyGen
+    lbl = jnp.asarray([2, 8], jnp.int32)
+    predFull, restFull = module.apply(variables, lbl, rng=None, kvCache=False,
+                                      method=module.generate)
+    predKv, restKv = module.apply(variables, lbl, rng=None, kvCache=True,
+                                  method=module.generate)
+    for a, b in zip(predFull, predKv):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(restFull), np.asarray(restKv), atol=1e-5)
