@@ -71,3 +71,33 @@ def zeroShardings(mesh: Mesh, tree):
 def replicatedShardings(mesh: Mesh, tree):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda _: rep, tree)
+
+
+# Column-parallel (output dim sharded) / row-parallel (input dim sharded)
+# projection names in the AnyRes/VAR transformers. GSPMD inserts the
+# all-reduce after row-parallel matmuls automatically.
+_COL_PARALLEL = {"wq", "wk", "wv", "wkY", "wvY", "w1", "w3", "qkv", "fc1"}
+_ROW_PARALLEL = {"wo", "w2", "proj", "fc2"}
+
+
+def generatorShardings(mesh: Mesh, params):
+    """Megatron-style tensor-parallel specs for transformer params.
+
+    Attention qkv + FFN up-projections are column-parallel; output
+    projections are row-parallel; everything else replicated. Head count must
+    divide mesh['model'].
+    """
+    tpSize = mesh.shape["model"]
+
+    def spec(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if tpSize > 1 and names and names[-1] == "kernel" and len(names) >= 2:
+            owner = names[-2]
+            shape = getattr(leaf, "shape", ())
+            if owner in _COL_PARALLEL and len(shape) == 2 and shape[1] % tpSize == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if owner in _ROW_PARALLEL and len(shape) == 2 and shape[0] % tpSize == 0:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)

@@ -79,16 +79,21 @@ def msSSIM(x, y, dataRange: float = 255.0, winSize: int = 11, winSigma: float = 
     weights = [w / sum(weights) for w in weights]
     weightsArr = jnp.asarray(weights, jnp.float32)
     levels = len(weights)
+    # Clamp to a small positive floor instead of 0: d(x^w)/dx at x=0 is inf,
+    # which NaNs training the moment any scale's contrast term goes negative
+    # (early training always does). Forward-value deviation vs the hard relu
+    # is at most eps^w ≈ 0.3 in the (already ~0) negative-cs regime.
+    floor = 1e-4
     mcs = []
     for i in range(levels):
         ssimVal, cs = _ssimPerChannel(x, y, win, dataRange)
         if i < levels - 1:
-            mcs.append(jnp.maximum(cs, 0.0))
+            mcs.append(jnp.maximum(cs, floor))
             x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                                       "VALID") / 4.0
             y = jax.lax.reduce_window(y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                                       "VALID") / 4.0
-    ssimVal = jnp.maximum(ssimVal, 0.0)                          # [n, c]
+    ssimVal = jnp.maximum(ssimVal, floor)                        # [n, c]
     mcsStack = jnp.stack(mcs + [ssimVal])                        # [lv, n, c]
     out = jnp.prod(mcsStack ** weightsArr[:, None, None], 0)     # [n, c]
     out = jnp.mean(out, -1)
