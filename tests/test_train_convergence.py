@@ -66,3 +66,30 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
                     jax.tree_util.tree_leaves(jax.device_get(s8.params))):
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_generator_tp_shardings_specs():
+    """Column/row-parallel specs land on the transformer projections only."""
+    import jax
+    from mcquic_tpu.models.generator import GeneratorV3SelfAttention
+    from mcquic_tpu.parallel import generatorShardings, makeMesh
+
+    mesh = makeMesh(dataParallel=4, modelParallel=2)
+    module = GeneratorV3SelfAttention(channel=8, k=16, size=(2, 1, 1),
+                                      hiddenSize=32, depth=1, nHeads=4, numClasses=10)
+    img = jnp.zeros((1, 32, 32, 3))
+    lbl = jnp.zeros((1,), jnp.int32)
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, img, lbl, train=True)
+    shardings = generatorShardings(mesh, variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {tuple(str(getattr(p, "key", p)) for p in path): s.spec
+             for path, s in flat}
+    colSharded = [k for k, v in specs.items() if tuple(v) == (None, "model")]
+    rowSharded = [k for k, v in specs.items() if tuple(v) == ("model", None)]
+    assert any("wq" in k for k in colSharded)
+    assert any("w1" in k for k in colSharded)
+    assert any("wo" in k for k in rowSharded)
+    assert any("w2" in k for k in rowSharded)
+    # compressor (frozen) stays replicated
+    assert all("compressor" not in k for k in colSharded + rowSharded)
