@@ -71,6 +71,15 @@ class CompressorEngine:
 
         self._encodeJit = jax.jit(partial(module.apply, method=module.encode))
         self._decodeJit = jax.jit(partial(module.apply, method=module.decode))
+        # Packed variant: one flat int32 array crosses the device boundary
+        # instead of one transfer per level (each transfer is a round-trip on
+        # remote-attached TPUs).
+        self._encodePackedJit = jax.jit(self._encodePacked)
+
+    def _encodePacked(self, variables, x):
+        codes = self._module.apply(variables, x, method=self._module.encode)
+        n = x.shape[0]
+        return jnp.concatenate([c.reshape(n, -1) for c in codes], axis=1)
 
     # ------------------------------------------------------------- state mgmt
     @property
@@ -108,9 +117,31 @@ class CompressorEngine:
     def encode(self, x: np.ndarray) -> List[np.ndarray]:
         """float [-1,1] NHWC (pre-padding applied here) -> codes [n,m,h,w]."""
         x = alignedPadding(np.asarray(x, np.float32), self._base)
-        codes = self._encodeJit(self._applyVars(), jnp.asarray(x))
-        # [n,h,w,m] -> reference layout [n,m,h,w]
-        return [np.asarray(c).transpose(0, 3, 1, 2) for c in codes]
+        n, H, W, _ = x.shape
+        packed = np.asarray(self._encodePackedJit(self._applyVars(), jnp.asarray(x)))
+        # split the flat [n, sum(h*w*m)] back into per-level [n,m,h,w]
+        shapes = self._levelShapes(H, W)
+        out, cur = [], 0
+        for (h, w, m) in shapes:
+            size = h * w * m
+            lvl = packed[:, cur:cur + size].reshape(n, h, w, m)
+            out.append(np.ascontiguousarray(lvl.transpose(0, 3, 1, 2)))
+            cur += size
+        return out
+
+    def _levelShapes(self, H: int, W: int) -> List[Tuple[int, int, int]]:
+        """Per-level (h, w, m) for a padded input — from a trace-only
+        eval_shape of encode (no compile), cached per input size."""
+        cache = getattr(self, "_shapeCache", None)
+        if cache is None:
+            cache = self._shapeCache = {}
+        key = (H, W)
+        if key not in cache:
+            probe = jax.eval_shape(
+                partial(self._module.apply, method=self._module.encode),
+                self._applyVars(), jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32))
+            cache[key] = [(s.shape[1], s.shape[2], s.shape[3]) for s in probe]
+        return cache[key]
 
     def decode(self, codes: Sequence[np.ndarray]) -> np.ndarray:
         """codes [n,m,h,w] -> restored float NHWC (still padded)."""
