@@ -11,11 +11,9 @@ A background prefetch thread stands in for torch DataLoader workers.
 import queue
 import random
 import threading
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
-import numpy as np
-
-from mcquic_tpu.data.dataset import (BasicFolder, TarShards, batched, listImages,
+from mcquic_tpu.data.dataset import (BasicFolder, TarShards, batched,
                                      randomResizedCrop, shuffled)
 from mcquic_tpu.data.transforms import alignedCrop
 

@@ -5,7 +5,6 @@ Model loading (`demo.py:137-163`): by `-qp` from the pretrained model zoo
 (URL + sha256 gate) or from a `--local` exported model file (saver.exportModel
 .npz format with `{config, version, qp}` sidecar metadata).
 """
-import json
 import logging
 import os
 import urllib.request

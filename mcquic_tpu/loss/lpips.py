@@ -10,7 +10,7 @@ available CPU-side) into a params tree, or train-time code falls back to
 lpipsWeight=0 with a warning when no weights are provided.
 """
 import logging
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

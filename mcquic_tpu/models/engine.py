@@ -9,7 +9,7 @@ input shape), frequency tables, padding/cropping, and the device↔host
 pipeline into the native entropy coder.
 """
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

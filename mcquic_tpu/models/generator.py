@@ -28,8 +28,7 @@ block-causal mask; bf16 activations with fp32 logits/CE; the frozen
 tokenizer runs fp32 (reference note.md:4).
 """
 import math
-from functools import partial
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ frozen compressor's `residual_forward` (8-channel features), which is the
 working VAR construction (next-scale input = upsampled reconstruction).
 """
 import math
-from functools import partial
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ sharding spec and `reassignCodebook` is a deterministic jitted function of
 the psum'd frequencies, so every host computes identical new codebooks.
 """
 import math
-from typing import Any, Callable, Mapping, Sequence, Tuple
+from typing import Any, Callable, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mcquic_tpu.nn.convs import Conv, MaskedConv, PixelShuffleConv, conv1x1, conv3x3, pixelShuffle3x3
+from mcquic_tpu.nn.convs import Conv, MaskedConv, conv1x1, conv3x3, pixelShuffle3x3
 from mcquic_tpu.nn.gdn import GenDivNorm, InvGenDivNorm
 from mcquic_tpu.utils.registry import ModuleRegistry
 

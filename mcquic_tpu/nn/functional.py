@@ -10,7 +10,6 @@ TPU-native equivalents of reference `mcquic/nn/base.py`:
   * `pixelShuffle` / `pixelUnshuffle` — NHWC layout (torch uses NCHW); pure
     reshape/transpose so XLA fuses them into neighboring convs.
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ codes `[n, h, w, m]` (transposed to the reference `[n, m, h, w]` only at the
 container/entropy-coder boundary).
 """
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -9,9 +9,7 @@ compressor subtree is excluded from optimization with optax.masked
 (reference sets requires_grad_(False), generator_3_self_attn.py:156-158).
 """
 import logging
-from functools import partial
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ grad-clip 4.0 (trainer.py:280), optimizer update, and the in-graph freqEMA
 update that the reference does via `dist.all_reduce` inside the entropy coder
 (entropyCoder.py:306-322) — here it is just a global sum under GSPMD.
 """
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax

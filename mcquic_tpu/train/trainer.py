@@ -21,7 +21,6 @@ from typing import Callable, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mcquic_tpu.config import Config
 from mcquic_tpu.loss import LossRegistry

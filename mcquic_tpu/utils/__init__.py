@@ -4,7 +4,6 @@ Parity with reference `mcquic/utils/__init__.py` (versionCheck `:32-48`,
 hashOfFile `:51-76`, totalParameters, nop).
 """
 import hashlib
-from typing import Iterable
 
 import jax
 import numpy as np

@@ -12,7 +12,7 @@ from pathlib import Path
 from mcquic_tpu.config import Config
 from mcquic_tpu.data import getValLoader
 from mcquic_tpu.models.engine import CompressorEngine
-from mcquic_tpu.train.saver import Saver, exportModel, loadTree
+from mcquic_tpu.train.saver import exportModel, loadTree
 from mcquic_tpu.validate.validator import Validator
 
 logger = logging.getLogger("mcquic_tpu.validate")

@@ -4,8 +4,6 @@ Parity with reference `mcquic/validate/metrics.py:22-274` (hand-rolled
 1-D-separable-gaussian ssim/ms_ssim, psnr). NHWC layout; separable depthwise
 convolutions lower to cheap XLA reduce-windows on TPU.
 """
-import math
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -10,12 +10,9 @@ Parity with reference `mcquic/validate/validator.py`:
     for CUDA events) → Mpps.
 """
 import time
-from typing import Optional
 
-import jax
 import numpy as np
 
-from mcquic_tpu.data.augment import evalTransform
 from mcquic_tpu.data.transforms import imageToModelInput, modelOutputToImage
 from mcquic_tpu.models.engine import CompressorEngine
 from mcquic_tpu.validate.metrics import msSSIM, psnr
