@@ -144,9 +144,31 @@ class CompressorEngine:
         return cache[key]
 
     def decode(self, codes: Sequence[np.ndarray]) -> np.ndarray:
-        """codes [n,m,h,w] -> restored float NHWC (still padded)."""
-        codesDev = [jnp.asarray(np.transpose(c, (0, 2, 3, 1)), jnp.int32) for c in codes]
-        return np.asarray(self._decodeJit(self._applyVars(), codesDev))
+        """codes [n,m,h,w] -> restored float NHWC (still padded).
+
+        Uploads ONE packed int32 array (single host->device round-trip) and
+        splits it back into per-level code maps on device.
+        """
+        jits = getattr(self, "_decodePackedJits", None)
+        if jits is None:
+            jits = self._decodePackedJits = {}
+        n = codes[0].shape[0]
+        shapes = tuple((c.shape[2], c.shape[3], c.shape[1]) for c in codes)  # (h,w,m)
+        packed = np.concatenate(
+            [np.ascontiguousarray(np.transpose(c, (0, 2, 3, 1))).reshape(n, -1)
+             for c in codes], axis=1).astype(np.int32)
+        fn = jits.get(shapes)
+        if fn is None:
+            def decodePacked(variables, packedArr, _shapes=shapes):
+                nb = packedArr.shape[0]
+                lst, cur = [], 0
+                for (h, w, m) in _shapes:
+                    sz = h * w * m
+                    lst.append(packedArr[:, cur:cur + sz].reshape(nb, h, w, m))
+                    cur += sz
+                return self._module.apply(variables, lst, method=self._module.decode)
+            fn = jits[shapes] = jax.jit(decodePacked)
+        return np.asarray(fn(self._applyVars(), jnp.asarray(packed)))
 
     def compress(self, x: np.ndarray) -> Tuple[List[np.ndarray], List[List[bytes]], List[FileHeader]]:
         """float [-1,1] NHWC -> (codes, binaries[n][level], headers[n])
