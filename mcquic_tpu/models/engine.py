@@ -143,12 +143,10 @@ class CompressorEngine:
             cache[key] = [(s.shape[1], s.shape[2], s.shape[3]) for s in probe]
         return cache[key]
 
-    def decode(self, codes: Sequence[np.ndarray]) -> np.ndarray:
-        """codes [n,m,h,w] -> restored float NHWC (still padded).
-
-        Uploads ONE packed int32 array (single host->device round-trip) and
-        splits it back into per-level code maps on device.
-        """
+    def _decodeDispatch(self, codes: Sequence[np.ndarray]):
+        """Async device decode: uploads ONE packed int32 array (single
+        host->device round-trip), splits per-level on device, returns the
+        (not yet fetched) device array."""
         jits = getattr(self, "_decodePackedJits", None)
         if jits is None:
             jits = self._decodePackedJits = {}
@@ -168,7 +166,11 @@ class CompressorEngine:
                     cur += sz
                 return self._module.apply(variables, lst, method=self._module.decode)
             fn = jits[shapes] = jax.jit(decodePacked)
-        return np.asarray(fn(self._applyVars(), jnp.asarray(packed)))
+        return fn(self._applyVars(), jnp.asarray(packed))
+
+    def decode(self, codes: Sequence[np.ndarray]) -> np.ndarray:
+        """codes [n,m,h,w] -> restored float NHWC (still padded)."""
+        return np.asarray(self._decodeDispatch(codes))
 
     def compress(self, x: np.ndarray) -> Tuple[List[np.ndarray], List[List[bytes]], List[FileHeader]]:
         """float [-1,1] NHWC -> (codes, binaries[n][level], headers[n])
@@ -230,6 +232,29 @@ class CompressorEngine:
             outQ.put(([np.asarray(c).transpose(0, 3, 1, 2) for c in codesHost], shape))
         outQ.put(None)
         worker.join()
+        return results
+
+    def decompressMany(self, items) -> List[np.ndarray]:
+        """Pipelined multi-batch decompression: host rANS decode of batch i+1
+        overlaps the device decode of batch i.
+
+        items: sequence of (binaries[n][level], headers[n]) pairs.
+        Returns restored images per batch (cropped to original sizes).
+        """
+        results: List[np.ndarray] = []
+        pending = None  # (in-flight device array, headers)
+        for binaries, headers in items:
+            codes = self._coder.decompress(binaries, [h.CodeSize for h in headers])
+            dev = self._decodeDispatch(codes)  # async: runs while host decodes next
+            if pending is not None:
+                prevDev, prevHeaders = pending
+                ims = prevHeaders[0].ImageSize
+                results.append(centerCropTo(np.asarray(prevDev), ims.height, ims.width))
+            pending = (dev, headers)
+        if pending is not None:
+            prevDev, prevHeaders = pending
+            ims = prevHeaders[0].ImageSize
+            results.append(centerCropTo(np.asarray(prevDev), ims.height, ims.width))
         return results
 
     # -------------------------------------------------------------- wrappers

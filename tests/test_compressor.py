@@ -154,3 +154,17 @@ def test_compress_many_pipelined(tinyV1):
         _, refBin, refHdr = tinyV1.compress(x)
         assert binaries == refBin
         assert headers[0].ImageSize.height == refHdr[0].ImageSize.height
+
+
+def test_decompress_many_pipelined(tinyV1):
+    rng = np.random.default_rng(11)
+    batches = [rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32) for _ in range(3)]
+    items = []
+    for x in batches:
+        _, binaries, headers = tinyV1.compress(x)
+        items.append((binaries, headers))
+    results = tinyV1.decompressMany(items)
+    assert len(results) == 3
+    for i, (binaries, headers) in enumerate(items):
+        ref = tinyV1.decompress(binaries, headers)
+        np.testing.assert_allclose(results[i], ref, atol=1e-5)
