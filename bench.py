@@ -99,11 +99,21 @@ def main():
     tEncDev, lastCodes = bestOf(lambda: encodeLoop(applyVars, xDev))
     tDecDev, _ = bestOf(lambda: decodeLoop(applyVars, codesDev))
 
-    # ---- device->host code transfer (happens once per compress call)
+    # ---- device->host code transfer (once per compress call; the engine
+    # packs all levels into ONE array -> one RPC)
+    @jax.jit
+    def packCodes(cs):
+        n = cs[0].shape[0]
+        return jnp.concatenate([c.reshape(n, -1) for c in cs], axis=1)
+
+    packedDev = jax.block_until_ready(packCodes(lastCodes))
+    np.asarray(packedDev)  # warm
+    reps = 8
     t0 = time.perf_counter()
-    for _ in range(5):
-        codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
-    tXfer = (time.perf_counter() - t0) / 5 * ITERS
+    for _ in range(reps):
+        packedHost = np.asarray(packCodes(lastCodes))
+    tXfer = (time.perf_counter() - t0) / reps * ITERS
+    codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
 
     # ---- host rANS over the same 50 iterations
     t0 = time.perf_counter()
