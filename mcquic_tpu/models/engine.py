@@ -218,18 +218,30 @@ class CompressorEngine:
 
         worker = threading.Thread(target=ransWorker, daemon=True)
         worker.start()
+
+        def fetchSplit(packedDev, paddedHW):
+            packedHost = np.asarray(packedDev)
+            n = packedHost.shape[0]
+            out, cur = [], 0
+            for (h, w, m) in self._levelShapes(*paddedHW):
+                size = h * w * m
+                out.append(np.ascontiguousarray(
+                    packedHost[:, cur:cur + size].reshape(n, h, w, m).transpose(0, 3, 1, 2)))
+                cur += size
+            return out
+
         pending = None
         for x in batches:
             x = np.asarray(x, np.float32)
             padded = alignedPadding(x, self._base)
-            codesDev = self._encodeJit(self._applyVars(), jnp.asarray(padded))
+            packedDev = self._encodePackedJit(self._applyVars(), jnp.asarray(padded))
             if pending is not None:
-                codesHost, shape = pending
-                outQ.put(([np.asarray(c).transpose(0, 3, 1, 2) for c in codesHost], shape))
-            pending = (codesDev, x.shape)
+                prevDev, prevPaddedHW, shape = pending
+                outQ.put((fetchSplit(prevDev, prevPaddedHW), shape))
+            pending = (packedDev, padded.shape[1:3], x.shape)
         if pending is not None:
-            codesHost, shape = pending
-            outQ.put(([np.asarray(c).transpose(0, 3, 1, 2) for c in codesHost], shape))
+            prevDev, prevPaddedHW, shape = pending
+            outQ.put((fetchSplit(prevDev, prevPaddedHW), shape))
         outQ.put(None)
         worker.join()
         return results

@@ -189,3 +189,24 @@ def test_streaming_decoder_matches_batch():
     first = dec.decode_stream(indexes[:40], [cdf], [k + 1], [0])
     second = dec.decode_stream(indexes[40:], [cdf], [k + 1], [0])
     np.testing.assert_array_equal(np.concatenate([first, second]), symbols)
+
+
+def test_fuzz_roundtrip_random_configs():
+    """Property fuzz: random (m, k, offsets) configs, native == golden."""
+    rng = np.random.default_rng(42)
+    for trial in range(15):
+        m = int(rng.integers(1, 5))
+        ks = [int(rng.integers(4, 300)) for _ in range(m)]
+        cdfs = [rans.pmfToQuantizedCDF(_randomPmf(rng, k).tolist(), 16) for k in ks]
+        cdfMat, _ = rans.packCdfs(cdfs)
+        cdfSizes = np.array([k + 1 for k in ks], dtype=np.int32)
+        offsets = rng.integers(-10, 10, m).astype(np.int32)
+        n = int(rng.integers(1, 400))
+        indexes = rng.integers(0, m, n).astype(np.int32)
+        symbols = np.array([rng.integers(0, ks[i]) + offsets[i] for i in indexes],
+                           dtype=np.int32)
+        enc = rans.encodeNp(symbols, indexes, cdfMat, cdfSizes, offsets)
+        encG = pyrans.encodeWithIndexes(symbols, indexes, cdfMat, cdfSizes, offsets)
+        assert enc == encG, f"trial {trial}: bitstream mismatch"
+        dec = rans.decodeNp(enc, indexes, cdfMat, cdfSizes, offsets)
+        np.testing.assert_array_equal(dec, symbols, err_msg=f"trial {trial}")
