@@ -47,12 +47,15 @@ def main(configPath, resume: bool = False, gen: bool = False):
     if Saver.probeResume(train.SaveDir) is not None:
         trainer.tryResume()
 
+    # batchSize is per data-parallel shard (reference semantics: per GPU);
+    # a single SPMD loader feeds the whole mesh.
+    globalBatch = train.BatchSize * trainer.dataParallelSize
     if gen:
         # class-conditional loader: (images, labels) from an imagenet-style
         # folder (reference gen path, data/__init__.py:109-122)
         from mcquic_tpu.data.imagenet_classes import getGenLoader
-        loaderFn = getGenLoader(train.TrainSet, train.BatchSize, cropSize=256)
+        loaderFn = getGenLoader(train.TrainSet, globalBatch, cropSize=256)
     else:
-        loaderFn = getTrainLoader(train.TrainSet, train.BatchSize, cropSize=512)
+        loaderFn = getTrainLoader(train.TrainSet, globalBatch, cropSize=512)
     trainer.train(loaderFn)
     return trainer

@@ -17,6 +17,8 @@ import numpy as np
 import optax
 from flax import struct
 
+import mcquic_tpu.models.generator  # noqa: F401  (populates GeneratorRegistry)
+import mcquic_tpu.models.generator_var  # noqa: F401
 from mcquic_tpu.config import Config
 from mcquic_tpu.parallel import batchSharding, makeMesh, replicated, zeroShardings
 from mcquic_tpu.train.lrSchedulers import getSchedule
@@ -137,6 +139,10 @@ class GenTrainer:
     @property
     def state(self):
         return self._state
+
+    @property
+    def dataParallelSize(self) -> int:
+        return int(self._mesh.shape["data"])
 
     @property
     def module(self):

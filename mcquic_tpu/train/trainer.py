@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import mcquic_tpu.models  # noqa: F401  (populates ModelRegistry)
 from mcquic_tpu.config import Config
 from mcquic_tpu.loss import LossRegistry
 from mcquic_tpu.parallel import batchSharding, makeMesh, replicated, zeroShardings
@@ -96,6 +97,12 @@ class Trainer:
         return self._state
 
     @property
+    def dataParallelSize(self) -> int:
+        """Config batchSize is per data-parallel shard (reference: per GPU
+        process); the SPMD loader must deliver batchSize * this."""
+        return int(self._mesh.shape["data"])
+
+    @property
     def module(self):
         return self._module
 
@@ -154,6 +161,21 @@ class Trainer:
             metricsLogger = MetricsLogger(project="mcquic-stage-1",
                                           config=self._config.serialize())
             onStep = lambda step, m: metricsLogger.log(step, m)
+
+        # Save-and-exit on SIGTERM (the reference carries this handler
+        # commented out, trainer.py:376-390; with auto-resume it makes
+        # preemption lossless).
+        import signal
+
+        def _onSigterm(signum, frame):
+            logger.warning("SIGTERM: saving checkpoint before exit")
+            self.save()
+            raise SystemExit(143)
+
+        try:
+            prevHandler = signal.signal(signal.SIGTERM, _onSigterm)
+        except ValueError:  # non-main thread
+            prevHandler = None
         step = int(self._state.step)
         epoch = 0
         lastLog = time.time()
@@ -191,6 +213,9 @@ class Trainer:
                     break
             epoch += 1
         self.save()
+        if prevHandler is not None:
+            import signal
+            signal.signal(signal.SIGTERM, prevHandler)
         return self._state
 
     def validate(self, valLoader) -> dict:
