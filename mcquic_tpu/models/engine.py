@@ -202,19 +202,24 @@ class CompressorEngine:
 
         outQ: "queue.Queue" = queue.Queue()
         results: List = []
+        workerError: List = []
 
         def ransWorker():
             while True:
                 item = outQ.get()
                 if item is None:
                     break
-                codesHost, shape = item
-                binaries, codeSizes = self._coder.compress(codesHost)
-                n, h, w, c = shape
-                headers = [FileHeader(mcquic_tpu.__version__, self._qp, cs,
-                                      ImageSize(height=h, width=w, channel=c))
-                           for cs in codeSizes]
-                results.append((binaries, headers))
+                try:
+                    codesHost, shape = item
+                    binaries, codeSizes = self._coder.compress(codesHost)
+                    n, h, w, c = shape
+                    headers = [FileHeader(mcquic_tpu.__version__, self._qp, cs,
+                                          ImageSize(height=h, width=w, channel=c))
+                               for cs in codeSizes]
+                    results.append((binaries, headers))
+                except Exception as e:  # propagate to the caller
+                    workerError.append(e)
+                    break
 
         worker = threading.Thread(target=ransWorker, daemon=True)
         worker.start()
@@ -244,6 +249,8 @@ class CompressorEngine:
             outQ.put((fetchSplit(prevDev, prevPaddedHW), shape))
         outQ.put(None)
         worker.join()
+        if workerError:
+            raise workerError[0]
         return results
 
     def decompressMany(self, items) -> List[np.ndarray]:
