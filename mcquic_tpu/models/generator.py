@@ -283,8 +283,11 @@ class GeneratorV3SelfAttention(nn.Module):
         if self.textConditioned:
             self.capProj = nn.Dense(hs, dtype=self.dtype)
         else:
+            # +1 row: learned null/unconditional embedding (class id == -1 or
+            # numClasses) — covers the reference's unconditional variant
+            # (uc_generator.py) and CFG-style null conditioning.
             self.classEmbed = self.param("classEmbed", _truncInit(std),
-                                         (self.numClasses, hs))
+                                         (self.numClasses + 1, hs))
         # Own scaffold: hidden-size codebook + per-scale restore heads
         # (generator_3_self_attn.py:101-137).
         self.scaffoldCodebook = self.param("scaffoldCodebook", _truncInit(std),
@@ -357,7 +360,9 @@ class GeneratorV3SelfAttention(nn.Module):
         projection when textConditioned (generator_3.py cap_embedder path)."""
         if self.textConditioned:
             return self.capProj(condition.astype(self.dtype))
-        return self.classEmbed[condition].astype(self.dtype)
+        # id -1 (or numClasses) selects the null/unconditional embedding
+        idx = jnp.where(condition < 0, self.numClasses, condition)
+        return self.classEmbed[idx].astype(self.dtype)
 
     # -------------------------------------------------------------- training
     def __call__(self, image, condition, train: bool = True):

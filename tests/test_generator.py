@@ -86,3 +86,13 @@ def test_kv_cached_sampling_matches_full_prefix(tinyGen):
     for a, b in zip(predFull, predKv):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(restFull), np.asarray(restKv), atol=1e-5)
+
+
+def test_unconditional_null_class(tinyGen):
+    """Class id -1 selects the learned null embedding (uc_generator parity)."""
+    module, variables = tinyGen
+    lbl = jnp.asarray([-1, -1], jnp.int32)
+    predictions, restored = module.apply(variables, lbl, rng=jax.random.PRNGKey(0),
+                                         method=module.generate)
+    assert restored.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(restored)).all()
