@@ -96,3 +96,20 @@ def test_unconditional_null_class(tinyGen):
                                          method=module.generate)
     assert restored.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(restored)).all()
+
+
+def test_text_conditioned_generator():
+    """textConditioned=True: condition is a precomputed caption embedding."""
+    module = GeneratorV3SelfAttention(
+        channel=8, k=16, size=(2, 1, 1), denseNorm=False,
+        hiddenSize=32, depth=1, nHeads=4, textConditioned=True, capDim=12)
+    img = jnp.zeros((2, 32, 32, 3))
+    cap = jax.random.normal(jax.random.PRNGKey(0), (2, 12))
+    variables = module.init({"params": jax.random.PRNGKey(1),
+                             "gumbel": jax.random.PRNGKey(2)}, img, cap, train=True)
+    predictions, loss, codes, restored, perLevel = module.apply(
+        variables, img, cap, train=True)
+    assert jnp.isfinite(loss)
+    predictions, restored = module.apply(variables, cap, rng=jax.random.PRNGKey(3),
+                                         method=module.generate)
+    assert restored.shape == (2, 32, 32, 3)
