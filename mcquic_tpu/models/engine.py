@@ -19,7 +19,7 @@ import mcquic_tpu
 from mcquic_tpu.coding import RansCoder
 from mcquic_tpu.container import CodeSize, File, FileHeader, ImageSize
 from mcquic_tpu.data.transforms import (alignedPadding, centerCropTo, imageToModelInput,
-                                        modelOutputToImage, paddingAmounts)
+                                        modelOutputToImage)
 from mcquic_tpu.models.compressor import Compressor, Neon
 
 
@@ -69,9 +69,7 @@ class CompressorEngine:
         self._coder = RansCoder(self._m, self._k)
         self.refreshFreq()
 
-        self._encodeJit = jax.jit(partial(module.apply, method=module.encode))
-        self._decodeJit = jax.jit(partial(module.apply, method=module.decode))
-        # Packed variant: one flat int32 array crosses the device boundary
+        # Packed transfers: ONE flat int32 array crosses the device boundary
         # instead of one transfer per level (each transfer is a round-trip on
         # remote-attached TPUs).
         self._encodePackedJit = jax.jit(self._encodePacked)
