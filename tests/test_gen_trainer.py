@@ -48,3 +48,31 @@ def test_gen_trainer_step_and_frozen_compressor(tmp_path):
     trainer2 = GenTrainer(_cfg(tmp_path), imageSize=32)
     assert trainer2.tryResume()
     assert int(trainer2.state.step) == 2
+
+
+def test_gen_trainer_loads_frozen_compressor_from_stage1(tmp_path):
+    """Stage-1 ckpt -> stage-2 loadFrom handoff (reference workflow:
+    train Neon, then train the generator over the frozen tokenizer)."""
+    import jax.numpy as jnp
+
+    from mcquic_tpu.models.compressor import Neon
+    from mcquic_tpu.train.saver import saveTree
+
+    # fabricate a "stage-1 checkpoint" with recognizable params
+    module = Neon(channel=8, k=16, size=(2, 1, 1), useRemat=False)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = module.init({"params": jax.random.PRNGKey(7),
+                             "gumbel": jax.random.PRNGKey(8)}, x, train=False)
+    ckpt = tmp_path / "stage1.npz"
+    saveTree(ckpt, {"params": variables["params"], "coder": variables["coder"]}, {})
+
+    cfg = _cfg(tmp_path)
+    cfg.Model.Params["loadFrom"] = str(ckpt)
+    trainer = GenTrainer(cfg, imageSize=32)
+    loaded = jax.device_get(trainer.state.params["compressor"])
+    want = jax.device_get(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(loaded), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(a, b)
+    # freqEMA came along too
+    coder = jax.device_get(trainer.state.coder)
+    assert "compressor" in coder
