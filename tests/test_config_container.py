@@ -73,3 +73,39 @@ def test_version_check_rejects_newer_major():
     assert versionCheck(mcquic_tpu.__version__)
     with pytest.raises(ValueError):
         versionCheck("99.0.0")
+
+
+def test_reference_shaped_mcq_blob_parses():
+    """A .mcq packed exactly as the reference's marshmallow FileSchema dump
+    (specification.py:149-156 layout) must parse here."""
+    import msgpack
+    refDict = {
+        "fileHeader": {
+            "qp": "2",
+            "version": mcquic_tpu.__version__,
+            "codeSize": {"m": [2, 2, 2], "heights": [48, 24, 12],
+                         "widths": [32, 16, 8], "k": [8192, 2048, 512]},
+            "imageSize": {"height": 768, "width": 512, "channel": 3},
+        },
+        "contents": [b"\x01\x02", b"\x03", b"\x04\x05\x06"],
+    }
+    blob = msgpack.packb(refDict, use_bin_type=True)
+    f = File.deserialize(blob)
+    assert f.FileHeader.QuantizationParameter == "2"
+    assert f.FileHeader.CodeSize.k == [8192, 2048, 512]
+    assert f.FileHeader.ImageSize.Pixels == 768 * 512
+    assert f.Content == refDict["contents"]
+    # and our serialization round-trips through the same dict shape
+    back = msgpack.unpackb(f.serialize(), raw=False)
+    assert set(back.keys()) == {"fileHeader", "contents"}
+    assert set(back["fileHeader"].keys()) == {"qp", "version", "codeSize", "imageSize"}
+
+
+def test_profiling_utils():
+    from mcquic_tpu.utils.profiling import syncAndFetch, wallClock
+    import jax.numpy as jnp
+    sink = {}
+    with wallClock("op", sink):
+        x = syncAndFetch(jnp.ones((4, 4)) * 2)
+    assert sink["op"] >= 0
+    assert float(x[0, 0]) == 2.0
