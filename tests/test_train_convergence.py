@@ -93,3 +93,24 @@ def test_generator_tp_shardings_specs():
     assert any("w2" in k for k in rowSharded)
     # compressor (frozen) stays replicated
     assert all("compressor" not in k for k in colSharded + rowSharded)
+
+
+def test_zero_shardings_shard_largest_divisible_axis():
+    import optax
+    from mcquic_tpu.parallel import makeMesh, zeroShardings
+
+    mesh = makeMesh(dataParallel=8, modelParallel=1)
+    tree = {"a": np.zeros((16, 3)),     # dim0 divisible by 8 -> sharded
+            "b": np.zeros((3, 5)),      # nothing divisible -> replicated
+            "c": np.zeros((4, 24))}     # dim1 divisible -> sharded
+    sh = zeroShardings(mesh, tree)
+
+    def norm(spec):
+        t = tuple(spec)
+        while t and t[-1] is None:
+            t = t[:-1]
+        return t
+
+    assert norm(sh["a"].spec) == ("data",)
+    assert norm(sh["b"].spec) == ()
+    assert norm(sh["c"].spec) == (None, "data")
