@@ -189,6 +189,10 @@ class Trainer:
                         raise RuntimeError(f"Loss is NaN/Inf at step {step}: {m}")
                     m["lr"] = float(self._schedule(step))
                     m["stepsPerSec"] = 100 / (time.time() - lastLog)
+                    if step % 1000 == 0:
+                        # codebook-usage telemetry (reference logs CodeUsage,
+                        # trainer.py:463-493)
+                        m["codeUsage"] = self.codeUsage()
                     lastLog = time.time()
                     logger.info("step %d: %s", step, m)
                     if onStep is not None:
