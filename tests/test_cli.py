@@ -86,3 +86,31 @@ def test_cli_generate_subcommand(tmp_path):
                         catch_exceptions=False)
     assert res.exit_code == 0, res.output
     assert len(list(outDir.glob("*.png"))) == 2
+
+
+def test_bundled_demo_model_smoke(tmp_path):
+    """Reference-CI-style product test: compress+restore with the bundled
+    trained artifact (test-all.yml:36-45 pattern)."""
+    import glob
+    from pathlib import Path
+
+    models = glob.glob(str(Path(__file__).resolve().parent.parent
+                           / "assets" / "tiny_demo_*.mcquic.npz"))
+    if not models:
+        pytest.skip("bundled demo model not present")
+    from PIL import Image
+
+    from mcquic_tpu.cli import entryPoint
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    src = tmp_path / "s.png"
+    Image.fromarray(img).save(src)
+    runner = CliRunner()
+    mcq = tmp_path / "s.mcq"
+    res = runner.invoke(entryPoint, ["--local", models[0], str(src), str(mcq)],
+                        catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    out = tmp_path / "r.png"
+    res = runner.invoke(entryPoint, ["--local", models[0], str(mcq), str(out)],
+                        catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert np.asarray(Image.open(out)).shape == img.shape
