@@ -80,3 +80,20 @@ def test_save_and_resume(trainer):
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_orbax_saver_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from mcquic_tpu.train.orbax_saver import OrbaxSaver
+
+    tree = {"a": jnp.arange(8, dtype=jnp.float32), "b": {"c": jnp.ones((2, 3))}}
+    saver = OrbaxSaver(str(tmp_path), maxItems=2)
+    saver.save(1, jax.device_get(tree))
+    saver.save(2, jax.device_get(jax.tree_util.tree_map(lambda x: x * 2, tree)))
+    saver.waitUntilFinished()
+    assert saver.latestStep() == 2
+    restored = saver.restore(tree)
+    np.testing.assert_allclose(restored["a"], np.arange(8) * 2)
+    np.testing.assert_allclose(restored["b"]["c"], np.ones((2, 3)) * 2)
+    saver.close()
