@@ -66,6 +66,27 @@ class IdealBPPHandler(Handler):
         self._values.append(totalBits / (pixels * batch))
 
 
+class ImageCollector(Handler):
+    """Collects (original, restored) pairs for visual logging
+    (reference handlers.py ImageCollector/Visualization)."""
+
+    def __init__(self, maxItems: int = 16):
+        super().__init__()
+        self._maxItems = maxItems
+        self._images: List = []
+
+    def reset(self):
+        super().reset()
+        self._images = []
+
+    def __call__(self, *, images, restored, **_):
+        if len(self._images) < self._maxItems:
+            self._images.append((np.asarray(images[0]), np.asarray(restored[0])))
+
+    def result(self):
+        return self._images
+
+
 class Meters:
     """Named handler collection (vlutils Meters shape)."""
 
