@@ -105,3 +105,23 @@ def test_dataset_builder_cli(tmp_path):
     total = buildDataset(src, out, jobs=1)
     assert total == 1
     assert (out / "metadata.json").exists()
+
+
+def test_imagenet_folder_gen_loader(tmp_path):
+    from PIL import Image
+
+    from mcquic_tpu.data.imagenet_classes import folderClassIndex, getGenLoader
+
+    rng = np.random.default_rng(8)
+    for wnid in ["n01440764", "n01443537"]:
+        d = tmp_path / wnid
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+                            ).save(d / f"{wnid}_{i}.JPEG")
+    index = folderClassIndex(tmp_path)
+    assert index == {"n01440764": 0, "n01443537": 1}
+    loaderFn = getGenLoader(str(tmp_path), batchSize=2, cropSize=32)
+    images, labels = next(iter(loaderFn()))
+    assert images.shape == (2, 32, 32, 3) and images.dtype == np.uint8
+    assert labels.dtype == np.int32 and set(labels) <= {0, 1}
