@@ -56,3 +56,25 @@ def test_engine_refresh_freq_resets_cdfs():
     engine.updateVariables({"params": variables["params"], "coder": newCoder})
     cdfs2 = engine.coder.CDFs
     assert cdfs1 != cdfs2
+
+
+def test_find_freq_emas_many_levels_ordering():
+    """17-level UMGM naming: freqEMA10 must not sort before freqEMA2."""
+    from mcquic_tpu.models.engine import _findFreqEMAs
+    state = {"_quantizer": {f"freqEMA{i}": np.full((1, 4), i, np.float32)
+                            for i in range(17)}}
+    freqs = _findFreqEMAs(state)
+    assert len(freqs) == 17
+    for i, f in enumerate(freqs):
+        assert float(f[0, 0]) == i
+
+
+def test_metrics_logger_degrades_without_wandb():
+    from mcquic_tpu.train.logging import EMATracker, MetricsLogger
+    logger = MetricsLogger(project="test", enabled=True)  # wandb missing -> stdlib
+    logger.log(1, {"loss": 1.0})
+    logger.log(2, {"loss": 0.5})
+    logger.finish()
+    ema = EMATracker(0.5)
+    assert ema.step(1.0) == 1.0
+    assert ema.step(0.0) == 0.5
