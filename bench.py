@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 try:  # persistent compile cache: repeat runs skip the 2-5 min XLA compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mcquic_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
