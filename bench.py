@@ -14,6 +14,12 @@ observed to degrade loop throughput ~2x on the shared attach path); host rANS
 and device<->host transfer costs are measured over the same 50 iterations and
 added in. Prints ONE json line.
 
+(A per-call pipelined measurement through the engine path was tried and
+rejected: per-call dispatch latency on this remote-attach tunnel is ~280 ms,
+so 50 individually-dispatched batches measure the tunnel, not the chip —
+see NOTES.md. The fori_loop + measured packed-RPC composition below matches
+the reference's serial per-call semantics without that artifact.)
+
 vs_baseline compares round-trip throughput against the reference's combined
 encode+decode rate on RTX 3090: 1/(1/25.45 + 1/22.03) = 11.81 Mpps.
 """

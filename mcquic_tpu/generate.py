@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import mcquic_tpu.models.generator  # noqa: F401  (populates GeneratorRegistry)
+import mcquic_tpu.models.generator_var  # noqa: F401
 from mcquic_tpu.config import Config
 from mcquic_tpu.data.transforms import modelOutputToImage
 from mcquic_tpu.train.saver import loadTree

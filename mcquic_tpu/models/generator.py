@@ -151,33 +151,45 @@ def _modulate(x, shift, scale):
 
 
 class AnyResBlock(nn.Module):
-    """TransformerBlock (generator_3.py:714-829)."""
+    """TransformerBlock (generator_3.py:714-829).
+
+    With `useAda=False`, the block is the sandwich-norm ablation variant
+    (generator_3_self_attn_wo_ada.py:732-814): no adaLN shift/scale/gates,
+    condition enters the sequence only through the first-level token.
+    """
     nHeads: int
     qkNorm: bool = True
     normEps: float = 1e-5
+    useAda: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, yEmb, yFeat, posEmbed, cache=None, offset: int = 0):
         dim = x.shape[-1]
-        ada = nn.Dense(6 * dim, dtype=self.dtype, name="adaLN",
-                       kernel_init=nn.initializers.zeros)(nn.silu(yEmb))
-        sMsa, scMsa, gMsa, sMlp, scMlp, gMlp = jnp.split(ada, 6, axis=-1)
-
         attnNorm = RMSNorm(self.normEps, self.dtype, name="attentionNorm")
         attnNorm1 = RMSNorm(self.normEps, self.dtype, name="attentionNorm1")
         ffnNorm = RMSNorm(self.normEps, self.dtype, name="ffnNorm")
         ffnNorm1 = RMSNorm(self.normEps, self.dtype, name="ffnNorm1")
         yNorm = RMSNorm(self.normEps, self.dtype, name="attentionYNorm")
 
+        if self.useAda:
+            ada = nn.Dense(6 * dim, dtype=self.dtype, name="adaLN",
+                           kernel_init=nn.initializers.zeros)(nn.silu(yEmb))
+            sMsa, scMsa, gMsa, sMlp, scMlp, gMlp = jnp.split(ada, 6, axis=-1)
+            attnIn = _modulate(attnNorm(x), sMsa, scMsa)
+        else:
+            attnIn = attnNorm(x)
         attnOut, cache = AnyResAttention(self.nHeads, self.qkNorm, self.normEps,
                                          self.dtype, name="attention")(
-            _modulate(attnNorm(x), sMsa, scMsa), mask, yNorm(yFeat), posEmbed,
-            cache=cache, offset=offset)
-        x = x + attnNorm1(gMsa[:, None] * attnOut)
-        ffnOut = SwiGLU(4 * dim, self.dtype, name="ffn")(
-            _modulate(ffnNorm(x), sMlp, scMlp))
-        x = x + ffnNorm1(gMlp[:, None] * ffnOut)
+            attnIn, mask, yNorm(yFeat), posEmbed, cache=cache, offset=offset)
+        if self.useAda:
+            x = x + attnNorm1(gMsa[:, None] * attnOut)
+            ffnOut = SwiGLU(4 * dim, self.dtype, name="ffn")(
+                _modulate(ffnNorm(x), sMlp, scMlp))
+            x = x + ffnNorm1(gMlp[:, None] * ffnOut)
+        else:
+            x = x + attnNorm1(attnOut)
+            x = x + ffnNorm1(SwiGLU(4 * dim, self.dtype, name="ffn")(ffnNorm(x)))
         return x, cache
 
 
@@ -190,6 +202,7 @@ class AnyResTransformer(nn.Module):
     vocabSize: int
     qkNorm: bool = True
     normEps: float = 1e-5
+    useAda: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -221,21 +234,23 @@ class AnyResTransformer(nn.Module):
 
         newCaches = [] if caches is not None else None
         for i in range(self.depth):
-            blk = AnyResBlock(self.nHeads, self.qkNorm, self.normEps, self.dtype,
-                              name=f"block{i}")
+            blk = AnyResBlock(self.nHeads, self.qkNorm, self.normEps, self.useAda,
+                              self.dtype, name=f"block{i}")
             x, cache = blk(x, mask, capEmb, yFeat, posEmbed,
                            cache=None if caches is None else caches[i],
                            offset=offset)
             if newCaches is not None:
                 newCaches.append(cache)
 
-        # FinalLayer (generator_3.py:650-712)
-        ada = nn.Dense(2 * hs, dtype=self.dtype, name="finalAdaLN",
-                       kernel_init=nn.initializers.zeros)(nn.silu(capEmb))
-        shift, scale = jnp.split(ada, 2, -1)
+        # FinalLayer (generator_3.py:650-712; plain norm+linear in the NoAda
+        # ablation, generator_3_self_attn_wo_ada.py:700-729)
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
                          name="finalNorm")(x)
-        x = _modulate(x, shift, scale)
+        if self.useAda:
+            ada = nn.Dense(2 * hs, dtype=self.dtype, name="finalAdaLN",
+                           kernel_init=nn.initializers.zeros)(nn.silu(capEmb))
+            shift, scale = jnp.split(ada, 2, -1)
+            x = _modulate(x, shift, scale)
         logits = nn.Dense(self.vocabSize, dtype=jnp.float32, name="finalLinear",
                           kernel_init=_truncInit(0.02 * (2 / (5 * hs)) ** 0.5))(x)
         if newCaches is not None:
@@ -273,6 +288,7 @@ class GeneratorV3SelfAttention(nn.Module):
     # caption embedding [n, capDim] instead of int class ids.
     textConditioned: bool = False
     capDim: int = 512
+    useAda: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -308,7 +324,7 @@ class GeneratorV3SelfAttention(nn.Module):
         self.transformer = AnyResTransformer(
             canvasSize=canvas, hiddenSize=hs, depth=self.depth, nHeads=self.nHeads,
             vocabSize=self.k, qkNorm=self.qk_norm, normEps=self.norm_eps,
-            dtype=self.dtype)
+            useAda=self.useAda, dtype=self.dtype)
         self.firstLevelPosEmbed = self.param(
             "firstLevelPosEmbed", _truncInit(std), (canvas * canvas, hs))
         self.levelEmbed = self.param("levelEmbed", _truncInit(std),
@@ -487,6 +503,15 @@ class GeneratorV3SelfAttention(nn.Module):
 
         restored = self.compressor.decode(predictions)
         return predictions, restored
+
+
+@GeneratorRegistry.register
+class GeneratorV3SelfAttentionNoAda(GeneratorV3SelfAttention):
+    """Ablation variant without adaLN modulation
+    (generator_3_self_attn_wo_ada.py:47): sandwich-norm transformer blocks,
+    plain final norm+linear; the condition reaches the sequence only through
+    the first-level token."""
+    useAda: bool = False
 
 
 def AnyResConfigs():

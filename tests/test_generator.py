@@ -98,6 +98,31 @@ def test_unconditional_null_class(tinyGen):
     assert np.isfinite(np.asarray(restored)).all()
 
 
+def test_noada_ablation_generator():
+    """GeneratorV3SelfAttentionNoAda: sandwich-norm blocks, no adaLN params
+    (generator_3_self_attn_wo_ada.py:47); train fwd + sampling must run."""
+    from mcquic_tpu.models.generator import GeneratorV3SelfAttentionNoAda
+    from mcquic_tpu.utils.registry import GeneratorRegistry
+
+    assert GeneratorRegistry.get("GeneratorV3SelfAttentionNoAda") is GeneratorV3SelfAttentionNoAda
+    module = GeneratorV3SelfAttentionNoAda(
+        channel=8, k=16, size=(2, 1, 1), denseNorm=False,
+        hiddenSize=32, depth=1, nHeads=4, numClasses=10)
+    img = jnp.zeros((2, 32, 32, 3))
+    lbl = jnp.asarray([3, 7], jnp.int32)
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, img, lbl, train=True)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("adaLN" in n or "finalAdaLN" in n for n in names)
+    _, loss, _, _, _ = module.apply(variables, img, lbl, train=True)
+    assert jnp.isfinite(loss)
+    predictions, restored = module.apply(variables, lbl, rng=jax.random.PRNGKey(4),
+                                         method=module.generate)
+    assert restored.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(restored)).all()
+
+
 def test_text_conditioned_generator():
     """textConditioned=True: condition is a precomputed caption embedding."""
     module = GeneratorV3SelfAttention(
