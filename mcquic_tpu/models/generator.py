@@ -389,6 +389,18 @@ class GeneratorV3SelfAttention(nn.Module):
         # frozen tokenizer (fp32, no grads; generator_3_self_attn.py:235-237)
         codes = [jax.lax.stop_gradient(c)
                  for c in self.compressor.encode(image.astype(jnp.float32))]
+        # The scaffold/sequence lengths use `size` literally, so the declared
+        # pyramid must match the tokenizer's actual code grids (a mismatch
+        # otherwise surfaces as an opaque broadcasting error deep in
+        # residual_forward).
+        expect = sorted(self.size)
+        for lv, code in enumerate(codes):
+            if code.shape[1] != expect[lv] or code.shape[2] != expect[lv]:
+                raise ValueError(
+                    f"config size {tuple(self.size)} does not match the tokenizer: "
+                    f"level {lv} code grid is {code.shape[1]}x{code.shape[2]}, expected "
+                    f"{expect[lv]}x{expect[lv]} for input {image.shape[1]}x{image.shape[2]} "
+                    f"(input -> latent is /8 and size[0] must equal latent/2, e.g. 256 -> 16)")
 
         scaffolds = []
         former = None

@@ -98,6 +98,36 @@ def test_unconditional_null_class(tinyGen):
     assert np.isfinite(np.asarray(restored)).all()
 
 
+def test_size_mismatch_raises_clear_error():
+    """Declared size pyramid that doesn't match the tokenizer's code grids
+    must raise a named ValueError, not an opaque broadcast error."""
+    module = GeneratorV3SelfAttention(
+        channel=8, k=16, size=(4, 2, 1), denseNorm=False,  # 32^2 input -> latent 4 -> size[0] must be 2
+        hiddenSize=32, depth=1, nHeads=4, numClasses=10)
+    img = jnp.zeros((1, 32, 32, 3))
+    lbl = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="does not match the tokenizer"):
+        module.init({"params": jax.random.PRNGKey(0),
+                     "gumbel": jax.random.PRNGKey(1)}, img, lbl, train=True)
+
+
+def test_generate_module_populates_registry():
+    """Regression: `mcquic_tpu.generate` must populate GeneratorRegistry in a
+    fresh interpreter (the generate CLI once failed with an empty registry)."""
+    import subprocess
+    import sys
+    code = ("import mcquic_tpu.generate; "
+            "from mcquic_tpu.utils.registry import GeneratorRegistry; "
+            "assert 'GeneratorV3SelfAttention' in GeneratorRegistry; "
+            "assert 'GeneratorV3SelfAttentionNoAda' in GeneratorRegistry; "
+            "assert 'GeneratorVAR' in GeneratorRegistry; print('ok')")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300,
+                         env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
 def test_noada_ablation_generator():
     """GeneratorV3SelfAttentionNoAda: sandwich-norm blocks, no adaLN params
     (generator_3_self_attn_wo_ada.py:47); train fwd + sampling must run."""
