@@ -272,5 +272,14 @@ class _NeonDecoder(nn.Module):
         x = ResidualBlock(c, g, dn, dtype=dt)(x)
         x = ResidualBlock(c, g, dn, dtype=dt)(x)
         x = AttentionBlock(g, dn, dtype=dt)(x)
-        x = conv3x3(3, dtype=dt)(x)
+        # Small-init output head: the cascade of IGDNs amplifies the random-init
+        # signal (y = x*sqrt(conv(x^2)+1) >= |x| per layer), giving the huge
+        # early-loss transient observed in both this and the reference
+        # construction. Scaling only the final projection's init variance by
+        # 1e-4 (std x0.01) starts the decoder near a neutral output with an
+        # unchanged parameter tree (checkpoint conversion unaffected) while
+        # keeping step-0 gradients nonzero through the straight-through path
+        # (a hard zero init would cut the codebook's reconstruction gradient).
+        x = conv3x3(3, kernelInit=nn.initializers.variance_scaling(
+            1e-4, "fan_in", "truncated_normal"), dtype=dt)(x)
         return x

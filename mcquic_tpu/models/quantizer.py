@@ -198,6 +198,15 @@ class ResidualBackwardQuantizer(nn.Module):
     def setup(self):
         ch = self.channel
         L = len(self.size)
+        # The smallest level's backward is Identity (quantizer.py:616/641), so
+        # its grid must equal the next level's — i.e. the size list must end
+        # with an equal pair. A halving final entry would fail later with an
+        # opaque broadcast error in the residual peeling loop (the reference
+        # has the same latent constraint, unchecked).
+        if L >= 2 and self.size[-1] != self.size[-2]:
+            raise ValueError(
+                f"size {tuple(self.size)} must end with an equal pair (e.g. ...,16,16): "
+                f"the smallest level's backward is identity, so size[-1] must equal size[-2]")
         std = math.sqrt(2 / (5 * ch))
         self._codebook = self.param("codebook", _truncCodebookInit(std), (1, self.k, ch))
         self._temperatures = self.param("temperature", nn.initializers.ones, (L, 1))

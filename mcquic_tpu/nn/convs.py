@@ -15,17 +15,25 @@ Dtype = Any
 
 
 class Conv(nn.Module):
-    """kxk conv with 'same'-style pre-computed padding (reference convs.py:77-123)."""
+    """kxk conv with 'same'-style pre-computed padding (reference convs.py:77-123).
+
+    `kernelInit=None` keeps flax's default (lecun normal); pass e.g.
+    `nn.initializers.zeros` for zero-init output heads (same parameter tree,
+    only the init distribution changes)."""
     features: int
     kernel: int = 3
     stride: int = 1
     useBias: bool = True
     groups: int = 1
+    kernelInit: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         pad = self.kernel // 2
+        kwargs = {}
+        if self.kernelInit is not None:
+            kwargs["kernel_init"] = self.kernelInit
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -35,11 +43,14 @@ class Conv(nn.Module):
             feature_group_count=self.groups,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            **kwargs,
         )(x)
 
 
-def conv3x3(features: int, stride: int = 1, bias: bool = True, groups: int = 1, dtype=jnp.float32) -> Conv:
-    return Conv(features=features, kernel=3, stride=stride, useBias=bias, groups=groups, dtype=dtype)
+def conv3x3(features: int, stride: int = 1, bias: bool = True, groups: int = 1,
+            kernelInit=None, dtype=jnp.float32) -> Conv:
+    return Conv(features=features, kernel=3, stride=stride, useBias=bias, groups=groups,
+                kernelInit=kernelInit, dtype=dtype)
 
 
 def conv5x5(features: int, stride: int = 1, bias: bool = True, groups: int = 1, dtype=jnp.float32) -> Conv:

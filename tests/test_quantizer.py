@@ -79,3 +79,18 @@ def test_vq_encode_chunked_matches_plain():
     got = vqEncodeChunked(x, cb, chunk=128)
     want = jnp.argmin(vqDistance(x, cb), -1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_residual_quantizer_rejects_halving_final_level():
+    """size lists must end with an equal pair: the smallest level's backward
+    is identity (reference quantizer.py:616/641), so a halving final entry
+    would break the residual peeling with an opaque broadcast error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from mcquic_tpu.models.quantizer import ResidualBackwardQuantizer
+
+    q = ResidualBackwardQuantizer(k=8, size=(4, 2))
+    with _pytest.raises(ValueError, match="equal pair"):
+        q.init({"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+               jnp.zeros((1, 8, 8, 8)), train=False)
