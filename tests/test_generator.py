@@ -102,7 +102,7 @@ def test_size_mismatch_raises_clear_error():
     """Declared size pyramid that doesn't match the tokenizer's code grids
     must raise a named ValueError, not an opaque broadcast error."""
     module = GeneratorV3SelfAttention(
-        channel=8, k=16, size=(4, 2, 1), denseNorm=False,  # 32^2 input -> latent 4 -> size[0] must be 2
+        channel=8, k=16, size=(4, 2, 2), denseNorm=False,  # 32^2 input -> latent 4 -> size[0] must be 2
         hiddenSize=32, depth=1, nHeads=4, numClasses=10)
     img = jnp.zeros((1, 32, 32, 3))
     lbl = jnp.zeros((1,), jnp.int32)
