@@ -68,10 +68,20 @@ def getTrainLoader(pattern: str, batchSize: int, cropSize: int = 512,
 
 
 def getValLoader(path: str, base: int = 256):
-    """Batch-1 eval loader with aligned crop (data/__init__.py:154-170)."""
+    """Batch-1 eval loader with aligned crop (data/__init__.py:154-170).
+
+    Images smaller than `base` would aligned-crop to zero pixels; they are
+    skipped with a warning instead of silently producing empty tensors."""
+    import logging
+
     def gen():
         ds = BasicFolder(path)
         for i, img in enumerate(ds):
+            if img.shape[0] < base or img.shape[1] < base:
+                logging.getLogger("mcquic_tpu.data").warning(
+                    "val image %s is smaller than the %dpx aligned crop; skipped",
+                    ds._files[i], base)
+                continue
             cropped = alignedCrop(img, base)
             name = str(ds._files[i].stem)
             yield cropped[None], name

@@ -31,9 +31,11 @@ _PLANCKIAN_COEFFS = np.array([
 ], dtype=np.float32)
 
 # (r/g, b/g) per illuminant, as the reference uses (vision.py:76-81).
-_PLANCKIAN_RATIO = jnp.asarray(
-    np.stack([_PLANCKIAN_COEFFS[:, 0] / _PLANCKIAN_COEFFS[:, 1],
-              _PLANCKIAN_COEFFS[:, 2] / _PLANCKIAN_COEFFS[:, 1]], 1))
+# Kept as numpy on purpose: a module-level jnp array would be created under
+# whatever trace/backend is active at first import (tracer-leak hazard when
+# this module is imported lazily inside a jitted function).
+_PLANCKIAN_RATIO = np.stack([_PLANCKIAN_COEFFS[:, 0] / _PLANCKIAN_COEFFS[:, 1],
+                             _PLANCKIAN_COEFFS[:, 2] / _PLANCKIAN_COEFFS[:, 1]], 1)
 
 
 def planckianJitter(key, x, p: float = 1.0):
@@ -42,7 +44,7 @@ def planckianJitter(key, x, p: float = 1.0):
     kApply, kPick = jax.random.split(key)
     apply = jax.random.uniform(kApply, (n,)) < p
     idx = jax.random.randint(kPick, (n,), 0, _PLANCKIAN_RATIO.shape[0])
-    coeffs = _PLANCKIAN_RATIO[idx]                       # [n, 2]
+    coeffs = jnp.asarray(_PLANCKIAN_RATIO)[idx]          # [n, 2]
     rW = jnp.where(apply, coeffs[:, 0], 1.0)[:, None, None]
     bW = jnp.where(apply, coeffs[:, 1], 1.0)[:, None, None]
     r = x[..., 0] * rW

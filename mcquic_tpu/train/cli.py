@@ -14,7 +14,6 @@ from pathlib import Path
 
 from mcquic_tpu.config import Config
 from mcquic_tpu.data import getTrainLoader
-from mcquic_tpu.train.saver import Saver
 from mcquic_tpu.train.trainer import Trainer
 
 logger = logging.getLogger("mcquic_tpu.train")
@@ -42,10 +41,12 @@ def main(configPath, resume: bool = False, gen: bool = False):
     else:
         trainer = Trainer(config)
 
-    # auto-resume (reference train/cli.py:31-39): always probe; the reference
-    # resumes whenever latest/saved.ckpt exists.
-    if Saver.probeResume(train.SaveDir) is not None:
-        trainer.tryResume()
+    # Auto-resume (reference train/cli.py:31-39): the trainer's Saver has
+    # already rotated a pre-existing `latest/` into a timestamped dir, so
+    # probing `latest/` here would always miss — tryResume() follows the
+    # rotation and is a no-op when there is nothing to resume.
+    if trainer.tryResume():
+        logger.info("auto-resumed training from %s", train.SaveDir)
 
     # batchSize is per data-parallel shard (reference semantics: per GPU);
     # a single SPMD loader feeds the whole mesh.
@@ -55,7 +56,17 @@ def main(configPath, resume: bool = False, gen: bool = False):
         # folder (reference gen path, data/__init__.py:109-122)
         from mcquic_tpu.data.imagenet_classes import getGenLoader
         loaderFn = getGenLoader(train.TrainSet, globalBatch, cropSize=256)
+        trainer.train(loaderFn)
     else:
         loaderFn = getTrainLoader(train.TrainSet, globalBatch, cropSize=512)
-    trainer.train(loaderFn)
+        # Real-coder validation every ValFreq + best-ckpt saving
+        # (reference trainer.py:355-362, 519-529).
+        valLoader = None
+        if train.ValSet and Path(train.ValSet).exists():
+            from mcquic_tpu.data import getValLoader
+            valLoader = getValLoader(train.ValSet)
+        else:
+            logger.warning("valSet %r not found: training without validation",
+                           train.ValSet)
+        trainer.train(loaderFn, valLoader=valLoader)
     return trainer

@@ -20,6 +20,7 @@ from flax import struct
 import mcquic_tpu.models.generator  # noqa: F401  (populates GeneratorRegistry)
 import mcquic_tpu.models.generator_var  # noqa: F401
 from mcquic_tpu.config import Config
+from mcquic_tpu.data import augment  # module scope: holds jnp constants
 from mcquic_tpu.parallel import batchSharding, makeMesh, replicated, zeroShardings
 from mcquic_tpu.train.lrSchedulers import getSchedule
 from mcquic_tpu.train.optim import getOptimizer
@@ -42,7 +43,12 @@ def _trainableMask(params):
 
 def makeGenTrainStep(module, tx, clipNorm: float = 2.0):
     def stepFn(state: TrainState, images, labels):
-        rng, sub = jax.random.split(state.rng)
+        rng, subAug = jax.random.split(state.rng)
+        if images.dtype == jnp.uint8:
+            # Device-side gen transform: planckian jitter + normalize to
+            # [-1,1], no flips (reference getTrainingTransform(gen=True),
+            # data/transforms.py:37-43; applied at genTrainer.py:260).
+            images = augment.trainingTransform(subAug, images, gen=True)
 
         def lossFn(params):
             (_, loss, _, _, perLevel), _ = module.apply(

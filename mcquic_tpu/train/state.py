@@ -14,6 +14,10 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+# Imported at module scope on purpose: augment holds module-level jnp
+# constants (the planckian table); importing it lazily inside a jitted step
+# would create those constants as tracers and leak them across traces.
+from mcquic_tpu.data import augment
 from mcquic_tpu.ops.vq import reassignCodebook
 
 
@@ -44,8 +48,7 @@ def makeTrainStep(module, tx: optax.GradientTransformation,
         if batch.dtype == jnp.uint8:
             # Device-side augmentation (reference runs these on GPU,
             # trainer.py:266): planckian jitter + flips + normalize.
-            from mcquic_tpu.data.augment import trainingTransform
-            batch = trainingTransform(subAug, batch)
+            batch = augment.trainingTransform(subAug, batch)
 
         def lossFn(params):
             (xHat, yHat, codes, logits), mut = module.apply(

@@ -144,7 +144,14 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
     def trainStep(self, batch: np.ndarray) -> dict:
-        batch = jax.device_put(jnp.asarray(batch, jnp.float32), self._batchSharding)
+        # Preserve uint8: raw loader batches must reach the jitted step as
+        # uint8 so the device-side augmentation+normalization branch fires
+        # (reference GPU transform, trainer.py:266). Float inputs are assumed
+        # pre-normalized to [-1,1] (test/debug path).
+        batch = np.asarray(batch)
+        if batch.dtype != np.uint8:
+            batch = batch.astype(np.float32, copy=False)
+        batch = jax.device_put(jnp.asarray(batch), self._batchSharding)
         self._state, metrics = self._jitStep(self._state, batch)
         return metrics
 
