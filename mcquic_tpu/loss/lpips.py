@@ -4,12 +4,17 @@ Parity with reference `mcquic/loss/lpips.py` (vendored VGG16-LPIPS with
 bundled `lpips_vgg.pth` weights): five conv-stage feature taps, unit-
 normalized channel features, learned 1x1 linear heads, spatial averaging.
 
-This environment has no network egress, so weights are not bundled; use
-`convertTorchLpips(pthPath)` to convert the reference's checkpoint (torch is
-available CPU-side) into a params tree, or train-time code falls back to
-lpipsWeight=0 with a warning when no weights are provided.
+The reference bundles only the five 1x1 `linN` heads (`loss/lpips_vgg.pth`,
+7 KB); those are converted and shipped here as `lpips_lin.npz`. The VGG16
+backbone is torchvision's pretrained `vgg16` (downloaded at the reference's
+install time) and has no offline source in this environment: provide it via
+the `MCQUIC_VGG16_WEIGHTS` env var (path to a torch state dict) or
+`~/.cache/mcquic_tpu/vgg16.pth`. Without the backbone the trainer falls back
+to lpipsWeight=0 with a loud one-time warning (the published objective
+weights this term 2x, reference trainer.py:276).
 """
 import logging
+import os
 from typing import Any, Optional
 
 import jax
@@ -88,6 +93,77 @@ def makeLpipsFn(params: Optional[dict], dtype=jnp.float32):
     return fn
 
 
+BUNDLED_LIN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "lpips_lin.npz")
+_warnedOnce = False
+
+
+def loadBundledLinHeads() -> dict:
+    """The reference's bundled lin heads (loss/lpips_vgg.pth), pre-converted
+    to flax HWIO at build time (see convertTorchLpips)."""
+    data = np.load(BUNDLED_LIN)
+    return {name: {"kernel": data[name]} for name in data.files}
+
+
+def findVggWeights() -> Optional[str]:
+    """Locate a torchvision-style VGG16 state dict (features.N.{weight,bias})."""
+    candidates = [os.environ.get("MCQUIC_VGG16_WEIGHTS", "")]
+    candidates.append(os.path.expanduser("~/.cache/mcquic_tpu/vgg16.pth"))
+    for path in candidates:
+        if path and os.path.exists(path):
+            return path
+    return None
+
+
+def convertVggStateDict(vsd) -> dict:
+    """torchvision `vgg16().state_dict()` (or its `features.` subset) ->
+    flax VGG16Features params."""
+    def toKernel(w):
+        return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+    convKeys = sorted(
+        (k for k in vsd if k.startswith("features.") and k.endswith(".weight")
+         and getattr(vsd[k], "ndim", len(getattr(vsd[k], "shape", ()))) == 4),
+        key=lambda k: int(k.split(".")[1]))
+    vgg = {}
+    for i, key in enumerate(convKeys):
+        vgg[f"conv{i}"] = {"kernel": toKernel(vsd[key]),
+                           "bias": np.asarray(vsd[key.replace(".weight", ".bias")])}
+    return vgg
+
+
+def makeDefaultLpipsFn(dtype=jnp.float32):
+    """Assemble the full LPIPS fn from the bundled lin heads + a locatable
+    VGG16 backbone; None (with ONE loud warning) when the backbone is absent.
+
+    The reference trains `0.5*recon + 0.5*mse + 2*lpips` (trainer.py:276);
+    without the backbone the dominant term is silently zero, hence the noise.
+    """
+    global _warnedOnce
+    vggPath = findVggWeights()
+    if vggPath is None:
+        if not _warnedOnce:
+            _warnedOnce = True
+            banner = (
+                "\n" + "!" * 78 + "\n"
+                "! LPIPS DISABLED: no VGG16 backbone weights found.\n"
+                "! The published objective is 0.5*recon + 0.5*mse + 2*lpips — the\n"
+                "! 2x-weighted perceptual term will train as ZERO.\n"
+                "! Provide torchvision vgg16 weights via MCQUIC_VGG16_WEIGHTS or\n"
+                "! ~/.cache/mcquic_tpu/vgg16.pth to restore the reference loss.\n"
+                + "!" * 78)
+            logger.warning(banner)
+            print(banner, flush=True)
+        return None
+    import torch
+
+    params = loadBundledLinHeads()
+    params["vgg"] = convertVggStateDict(torch.load(vggPath, map_location="cpu"))
+    logger.info("LPIPS enabled: lin heads (bundled) + VGG16 backbone from %s",
+                vggPath)
+    return makeLpipsFn(params, dtype=dtype)
+
+
 def convertTorchLpips(linPthPath: str, vggStateDictPath: Optional[str] = None) -> dict:
     """Convert reference LPIPS weights into a flax params tree.
 
@@ -109,14 +185,7 @@ def convertTorchLpips(linPthPath: str, vggStateDictPath: Optional[str] = None) -
         params[f"lin{i}"] = {"kernel": toKernel(sd[k])}
 
     if vggStateDictPath is not None:
-        vsd = torch.load(vggStateDictPath, map_location="cpu")
-        convKeys = sorted(
-            (k for k in vsd if k.startswith("features.") and k.endswith(".weight")
-             and vsd[k].dim() == 4),
-            key=lambda k: int(k.split(".")[1]))
-        vgg = {}
-        for i, k in enumerate(convKeys):
-            vgg[f"conv{i}"] = {"kernel": toKernel(vsd[k]),
-                               "bias": vsd[k.replace(".weight", ".bias")].numpy()}
-        params["vgg"] = vgg
+        vsd = {k: v.numpy() for k, v in
+               torch.load(vggStateDictPath, map_location="cpu").items()}
+        params["vgg"] = convertVggStateDict(vsd)
     return params

@@ -55,6 +55,14 @@ class Trainer:
         self._tx = getOptimizer(optimCfg.Key, schedule, optimCfg.Params)
         self._schedule = schedule
 
+        if lpipsFn is None:
+            # Auto-assemble the 2x-weighted perceptual term when its weights
+            # are locatable; loud one-time warning otherwise (reference
+            # trainer.py:276, compound.py:35-42).
+            from mcquic_tpu.loss.lpips import makeDefaultLpipsFn
+            lpipsFn = makeDefaultLpipsFn()
+        elif lpipsFn is False:  # explicit opt-out (tests / stage-2 handoff)
+            lpipsFn = None
         distortion = LossRegistry.get(train.Target)()
         self._distortion = distortion
         self._stepFn = makeTrainStep(module, self._tx, distortion, lpipsFn)
