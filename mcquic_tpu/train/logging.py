@@ -61,6 +61,15 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log({name: self._wandb.Histogram(np.asarray(values))}, step=step)
 
+    def images(self, step: int, name: str, images):
+        """Log a list of uint8 HWC arrays (reference raw/restored grids and
+        code-map visualizations, trainer.py:463-493)."""
+        if self._wandb is not None:
+            self._wandb.log({name: [self._wandb.Image(np.asarray(img))
+                                    for img in images]}, step=step)
+        else:
+            logger.info("step %d %s: %d image(s)", step, name, len(images))
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()

@@ -97,7 +97,14 @@ class Trainer:
         self._saver = Saver(train.SaveDir) if train.SaveDir else None
         self._resumePath = self._saver.PreviousCkpt if self._saver else None
         self._bestDistortion = float("-inf")
-        self._hooks = _buildHooks(train)
+        self._lastValExtras = {"pairs": [], "codes": None}
+        from mcquic_tpu.train.hooks import getAllHooks
+        self._hooks = getAllHooks(train.Hooks)  # phase -> [hook]
+
+    def _runHooks(self, phase, step: int):
+        from mcquic_tpu.train.hooks import HookType
+        for hook in self._hooks.get(HookType(phase), []):
+            hook(self, step)
 
     # ------------------------------------------------------------------ state
     @property
@@ -164,17 +171,22 @@ class Trainer:
         return metrics
 
     def train(self, loaderFn: Callable[[], Iterable], valLoader=None,
-              onStep: Optional[Callable] = None):
+              onStep: Optional[Callable] = None, metricsLogger=None):
         train = self._config.Train
         total = train.TotalStep
+        # `epoch` caps the number of loader passes; the reference declares it
+        # but leaves it vestigial (trainer.py:327,457 commented) — honored
+        # here so the accepted key does what it says.
+        maxEpochs = max(int(getattr(train, "Epoch", 0) or 0), 0) or None
         valFreq = train.ValFreq
         saveFreq = max(valFreq // 10, 1)
-        if onStep is None:
+        if metricsLogger is None and onStep is None:
             # wandb project parity (reference trainer.py:319-344); degrades to
             # stdlib logging when wandb is unavailable.
             from mcquic_tpu.train.logging import MetricsLogger
             metricsLogger = MetricsLogger(project="mcquic-stage-1",
                                           config=self._config.serialize())
+        if onStep is None:
             onStep = lambda step, m: metricsLogger.log(step, m)
 
         # Save-and-exit on SIGTERM (the reference carries this handler
@@ -194,8 +206,11 @@ class Trainer:
         step = int(self._state.step)
         epoch = 0
         lastLog = time.time()
-        while step < total:
+        self._runHooks("beforeRun", step)
+        while step < total and (maxEpochs is None or epoch < maxEpochs):
+            self._runHooks("epochStart", step)
             for batch in loaderFn():
+                self._runHooks("stepStart", step)
                 metrics = self.trainStep(batch)
                 step += 1
                 if step % 100 == 0:
@@ -212,8 +227,7 @@ class Trainer:
                     logger.info("step %d: %s", step, m)
                     if onStep is not None:
                         onStep(step, m)
-                for hook in self._hooks:
-                    hook(self, step)
+                self._runHooks("stepFinish", step)
                 if step % saveFreq == 0:
                     self.save()
                 if valLoader is not None and step % valFreq == 0:
@@ -221,6 +235,9 @@ class Trainer:
                     logger.info("step %d validation: %s", step, results)
                     if onStep is not None:
                         onStep(step, {f"val/{k}": v for k, v in results.items()})
+                    if metricsLogger is not None:
+                        self._logValObservability(metricsLogger, step,
+                                                  self._lastValExtras)
                     if self._saver is not None and results.get("msssim", 0) > self._bestDistortion:
                         self._bestDistortion = results["msssim"]
                         from mcquic_tpu.train.saver import saveTree
@@ -231,7 +248,9 @@ class Trainer:
                 if step >= total:
                     break
             epoch += 1
+            self._runHooks("epochFinish", step)
         self.save()
+        self._runHooks("afterRun", step)
         if prevHandler is not None:
             import signal
             signal.signal(signal.SIGTERM, prevHandler)
@@ -240,10 +259,34 @@ class Trainer:
     def validate(self, valLoader) -> dict:
         """Real-coder validation with current weights (reference
         trainer.py:495-529 validate-and-save-best)."""
+        results, self._lastValExtras = self.validateWithExtras(valLoader)
+        return results
+
+    def validateWithExtras(self, valLoader):
+        """(metrics dict, observability payload) — payload carries image
+        pairs + last codes for the wandb sink (reference trainer.py:463-493)."""
         from mcquic_tpu.models.engine import CompressorEngine
         from mcquic_tpu.validate.validator import Validator
         engine = CompressorEngine(self._module, self.variables(), qp="train")
-        return Validator(engine).validate(valLoader)
+        validator = Validator(engine)
+        results = validator.validate(valLoader)
+        return results, validator.collected
+
+    def _logValObservability(self, metricsLogger, step: int, extras: dict):
+        """Histograms of per-level code frequency, code-map visualizations,
+        and raw/restored pairs (reference trainer.py:463-493)."""
+        from mcquic_tpu.validate.validator import visualizeCodeMaps
+        coder = jax.device_get(self._state.coder)
+        for name, freq in _freqLeaves(coder):
+            metricsLogger.histogram(step, f"freq/{name}",
+                                    np.asarray(freq).ravel())
+        if extras.get("codes"):
+            metricsLogger.images(step, "val/codeMaps",
+                                 [m[0] for m in visualizeCodeMaps(extras["codes"])])
+        pairs = extras.get("pairs") or []
+        if pairs:
+            metricsLogger.images(step, "val/raw", [p[0] for p in pairs])
+            metricsLogger.images(step, "val/restored", [p[1] for p in pairs])
 
     def reassignCodebooks(self) -> float:
         self._state, prop = jax.jit(
@@ -266,7 +309,21 @@ def _adaptModelParams(params: dict) -> dict:
             if k in ("channel", "m", "k", "permutationRate")}
 
 
-def _buildHooks(train) -> list:
-    from mcquic_tpu.train.hooks import getAllHooks
-    grouped = getAllHooks(train.Hooks)
-    return [h for hooks in grouped.values() for h in hooks]
+def _freqLeaves(coder: dict):
+    """Flatten the coder collection into (name, [m,k] freq) pairs per level."""
+    out = []
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for key, val in node.items():
+                walk(val, f"{prefix}/{key}" if prefix else str(key))
+        else:
+            arr = np.asarray(node)
+            if arr.ndim >= 3:  # stacked [L, m, k] (Neon shared codebook)
+                for lv in range(arr.shape[0]):
+                    out.append((f"{prefix}/lv{lv:02d}", arr[lv]))
+            else:
+                out.append((prefix, arr))
+
+    walk(coder, "")
+    return out

@@ -15,7 +15,9 @@ import numpy as np
 
 from mcquic_tpu.data.transforms import imageToModelInput, modelOutputToImage
 from mcquic_tpu.models.engine import CompressorEngine
-from mcquic_tpu.validate.metrics import msSSIM, psnr
+from mcquic_tpu.validate.handlers import (BPPHandler, IdealBPPHandler,
+                                          ImageCollector, Meters,
+                                          MsSSIMHandler, PSNRHandler)
 
 
 def visualizeCodeMaps(codes) -> list:
@@ -36,46 +38,36 @@ def visualizeCodeMaps(codes) -> list:
 
 
 class Validator:
-    def __init__(self, engine: CompressorEngine):
+    def __init__(self, engine: CompressorEngine, collectImages: int = 16):
         self._engine = engine
+        self._meters = Meters({"msssim": MsSSIMHandler(), "psnr": PSNRHandler(),
+                               "bpp": BPPHandler(), "idealBpp": IdealBPPHandler()})
+        self._collector = ImageCollector(maxItems=collectImages)
+        # post-validate observability payload: image pairs + last codes
+        # (reference wandb image/code-map logging, trainer.py:463-493)
+        self.collected: dict = {"pairs": [], "codes": None}
 
     def validate(self, valLoader) -> dict:
         """valLoader: generator yielding (uint8 [1,h,w,3], stem)."""
-        msssims, psnrs, bpps, idealBpps = [], [], [], []
+        self._meters.reset()
+        self._collector.reset()
         total = 0
+        codes = None
         for batch, stem in valLoader():
             x = imageToModelInput(batch)
             codes, binaries, headers = self._engine.compress(x)
             restored = self._engine.decompress(binaries, headers)
             restoredU8 = modelOutputToImage(restored)
-            a = batch.astype(np.float32)
-            b = restoredU8.astype(np.float32)
-            msssims.append(float(msSSIM(a, b, dataRange=255.0)))
-            psnrs.append(float(psnr(a, b, dataRange=255.0)))
             pixels = headers[0].ImageSize.Pixels
-            bpps.append(sum(len(bin) for bin in binaries[0]) * 8 / pixels)
-            idealBpps.append(self._idealBpp(codes, pixels))
+            kwargs = dict(images=batch, restored=restoredU8,
+                          binaries=binaries[0], pixels=pixels, codes=codes,
+                          normalizedFreqs=self._engine.coder.NormalizedFreq,
+                          batch=codes[0].shape[0])
+            self._meters(**kwargs)
+            self._collector(**kwargs)
             total += 1
-        return {
-            "images": total,
-            "msssim": float(np.mean(msssims)),
-            "psnr": float(np.mean(psnrs)),
-            "bpp": float(np.mean(bpps)),
-            "idealBpp": float(np.mean(idealBpps)),
-        }
-
-    def _idealBpp(self, codes, pixels: int) -> float:
-        """Empirical per-level entropy estimate (reference handlers.py:110-190)."""
-        totalBits = 0.0
-        freqs = self._engine.coder.NormalizedFreq
-        for code, freq in zip(codes, freqs):
-            # code [n,m,h,w]; freq [m,k]
-            m = code.shape[1]
-            for g in range(m):
-                p = np.maximum(freq[g], 1e-12)
-                sym = code[:, g].ravel()
-                totalBits += float(np.sum(-np.log2(p[sym])))
-        return totalBits / (pixels * codes[0].shape[0])
+        self.collected = {"pairs": self._collector.result(), "codes": codes}
+        return {"images": total, **self._meters.results()}
 
     def speed(self, iters: int = 50, batch: int = 10, h: int = 768, w: int = 512):
         """(encodeMpps, decodeMpps) under the reference protocol."""

@@ -24,7 +24,7 @@ def _cfg(tmp_path, totalStep, valFreq=100):
     return {
         "model": {"key": "Compressor", "params": {"channel": 8, "m": 1, "k": [16]}},
         "train": {
-            "totalStep": totalStep, "batchSize": 1, "epoch": 1, "valFreq": valFreq,
+            "totalStep": totalStep, "batchSize": 1, "epoch": 100, "valFreq": valFreq,
             "trainSet": str(tmp_path / "imgs"), "valSet": str(tmp_path / "val"),
             "saveDir": str(tmp_path / "saved"), "target": "PSNR",
             "optim": {"key": "Adam", "params": {"lr": 1e-4}},

@@ -29,7 +29,7 @@ def test_train_cli_end_to_end(tmp_path):
     cfg = {
         "model": {"key": "Compressor", "params": {"channel": 8, "m": 1, "k": [16]}},
         "train": {
-            "totalStep": 3, "batchSize": 1, "epoch": 1, "valFreq": 30,
+            "totalStep": 3, "batchSize": 1, "epoch": 100, "valFreq": 30,
             "trainSet": str(shardDir / "*.tar"), "valSet": "unused",
             "saveDir": str(tmp_path / "saved"), "target": "PSNR",
             "optim": {"key": "Adam", "params": {"lr": 1e-4}},

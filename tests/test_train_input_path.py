@@ -30,7 +30,7 @@ def _stage1Config(tmp):
     return Config.deserialize({
         "model": {"key": "Compressor", "params": {"channel": 8, "m": 1, "k": [16]}},
         "train": {
-            "totalStep": 2, "batchSize": 1, "epoch": 1, "valFreq": 20,
+            "totalStep": 2, "batchSize": 1, "epoch": 100, "valFreq": 20,
             "trainSet": "unused", "valSet": "unused",
             "saveDir": str(tmp / "saved"), "target": "PSNR",
             "optim": {"key": "Adam", "params": {"lr": 1e-4}},
