@@ -5,10 +5,12 @@ Model loading (`demo.py:137-163`): by `-qp` from the pretrained model zoo
 (URL + sha256 gate) or from a `--local` exported model file (saver.exportModel
 .npz format with `{config, version, qp}` sidecar metadata).
 """
+import json
 import logging
 import os
 import urllib.request
 from pathlib import Path
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -18,14 +20,75 @@ from mcquic_tpu.container import File
 from mcquic_tpu.data.transforms import alignedCrop
 from mcquic_tpu.models.engine import CompressorEngine
 from mcquic_tpu.train.saver import loadTree
-from mcquic_tpu.utils import versionCheck
+from mcquic_tpu.utils import hashOfFile, versionCheck
 from mcquic_tpu.utils.registry import ModelRegistry
 
 logger = logging.getLogger("mcquic_tpu")
 
-# qp -> release asset (same naming scheme as reference MODELS_URL, demo.py:20-24).
-MODELS_URL_BASE = os.environ.get("MCQUIC_MODELS_URL", "")
-MODELS_HASH = {}
+# Model zoo (reference MODELS_URL/MODELS_HASH, demo.py:20-24): assets named
+# `qp_{qp}_{mse|msssim}_{sha256[:8]}.mcquic.npz` (+ `.json` sidecar), the
+# hash table maintained by ci/update_model_hash.py. The URL base and hash
+# file are env-overridable so zoo mirrors / test fixtures can stand in.
+_HASH_FILE_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "models_hash.json")
+
+
+def modelsUrlBase() -> str:
+    return os.environ.get("MCQUIC_MODELS_URL", "")
+
+
+def modelsHash() -> Dict[str, str]:
+    path = os.environ.get("MCQUIC_MODELS_HASH_FILE", _HASH_FILE_DEFAULT)
+    if os.path.exists(path):
+        with open(path) as fp:
+            return json.load(fp)
+    return {}
+
+
+def zooCacheDir() -> Path:
+    cache = Path(os.environ.get("MCQUIC_CACHE",
+                                os.path.expanduser("~/.cache/mcquic_tpu"))) / "zoo"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache
+
+
+def fetchZooModel(qp: int, mse: bool = False) -> Path:
+    """Resolve a qp slot to a verified local model file: cache lookup,
+    download from the zoo URL, sha256-prefix verification (the reference's
+    torch.hub hash gate, demo.py:137-163)."""
+    key = f"qp_{qp}_{'mse' if mse else 'msssim'}"
+    hashes = modelsHash()
+    if key not in hashes:
+        known = sorted(hashes) or ["<none registered>"]
+        raise RuntimeError(
+            f"No model registered for slot `{key}`. Known slots: {known}. "
+            "Register artifacts with ci/update_model_hash.py or pass --local.")
+    digest = hashes[key].lower()
+    name = f"{key}_{digest}.mcquic.npz"
+    path = zooCacheDir() / name
+    if not path.exists():
+        base = modelsUrlBase()
+        if not base:
+            raise RuntimeError(
+                "Model zoo URL not configured (set MCQUIC_MODELS_URL); "
+                "this environment has no network egress — use --local or a "
+                "file:// mirror.")
+        if not base.endswith("/"):
+            base += "/"
+        logger.info("downloading %s", base + name)
+        urllib.request.urlretrieve(base + name, path)
+        sidecar = name[:-len(".npz")] + ".json"
+        try:
+            urllib.request.urlretrieve(base + sidecar, path.with_suffix(".json"))
+        except Exception:
+            pass  # metadata may be embedded; loadTree will complain if not
+    actual = hashOfFile(str(path))
+    if not actual.startswith(digest):
+        path.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"Hash mismatch for {name}: expected prefix {digest}, got "
+            f"{actual[:len(digest)]} — corrupted download removed.")
+    return path
 
 
 def _buildModule(config: Config):
@@ -44,15 +107,7 @@ def loadModel(qp: int = None, local: str = None, mse: bool = False) -> Compresso
     if local:
         path = Path(local)
     else:
-        if not MODELS_URL_BASE:
-            raise RuntimeError(
-                "No --local model given and no model zoo URL configured "
-                "(set MCQUIC_MODELS_URL). This environment has no network egress; "
-                "use `mcquic validate --export` to produce a local model file.")
-        suffix = "mse" if mse else "msssim"
-        name = f"qp_{qp}_{suffix}.mcquic.npz"
-        path = Path(mcquic_tpu.Consts.TempDir) / name
-        urllib.request.urlretrieve(MODELS_URL_BASE + name, path)
+        path = fetchZooModel(qp, mse=mse)
     tree, meta = loadTree(path)
     if meta is None:
         raise RuntimeError(f"Model file {path} lacks metadata sidecar.")

@@ -1,0 +1,105 @@
+"""qp-indexed model zoo plumbing, end-to-end over a file:// mirror
+(reference MODELS_URL/MODELS_HASH + torch.hub hash gate, demo.py:20-24,
+137-163; hash table maintained by ci/update_model_hash.py)."""
+import importlib.util
+import shutil
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcquic_tpu import demo
+from mcquic_tpu.config import Config
+from mcquic_tpu.models.compressor import Compressor
+from mcquic_tpu.train.saver import exportModel
+
+REPO = Path(__file__).resolve().parent.parent
+
+# tiny stand-ins for distinct qp slot geometries (channel/m/levels vary)
+SLOTS = {2: dict(channel=8, m=2, k=[16, 8]),
+         12: dict(channel=12, m=4, k=[16, 8, 8])}
+
+
+def _exportSlot(outDir: Path, qp: int, geom: dict) -> Path:
+    module = Compressor(channel=geom["channel"], m=geom["m"], k=tuple(geom["k"]))
+    variables = module.init({"params": jax.random.PRNGKey(qp),
+                             "gumbel": jax.random.PRNGKey(qp + 1)},
+                            jnp.zeros((1, 64, 64, 3)), train=False)
+    cfg = Config.deserialize({"model": {"key": "Compressor", "params": geom}})
+    final = exportModel(outDir / f"qp_{qp}_msssim.mcquic.npz",
+                        {"params": variables["params"], "coder": variables["coder"]},
+                        cfg.serialize(), qp=str(qp))
+    return final
+
+
+def _runHashScript(assetDir: Path, outJson: Path):
+    spec = importlib.util.spec_from_file_location(
+        "update_model_hash", REPO / "ci" / "update_model_hash.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main(str(assetDir), str(outJson))
+
+
+@pytest.fixture(scope="module")
+def zoo(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("zoo")
+    assets = tmp / "assets"
+    assets.mkdir()
+    for qp, geom in SLOTS.items():
+        _exportSlot(assets, qp, geom)
+    table = _runHashScript(assets, tmp / "models_hash.json")
+    return tmp, assets, table
+
+
+def test_hash_script_registers_all_slots(zoo):
+    _, _, table = zoo
+    assert sorted(table) == ["qp_12_msssim", "qp_2_msssim"]
+    assert all(len(v) == 8 for v in table.values())
+
+
+def test_zoo_download_verify_and_roundtrip(zoo, monkeypatch, tmp_path):
+    tmp, assets, _ = zoo
+    monkeypatch.setenv("MCQUIC_MODELS_URL", assets.as_uri() + "/")
+    monkeypatch.setenv("MCQUIC_MODELS_HASH_FILE", str(tmp / "models_hash.json"))
+    monkeypatch.setenv("MCQUIC_CACHE", str(tmp_path / "cache"))
+    rng = np.random.default_rng(0)
+    for qp, geom in SLOTS.items():
+        engine = demo.loadModel(qp=qp)
+        img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+        file = engine.compressImage(img)
+        assert file.FileHeader.QuantizationParameter == str(qp)
+        restored = engine.decompressImage(file)
+        assert restored.shape == img.shape and restored.dtype == np.uint8
+    # cached second load skips the download (URL removed)
+    monkeypatch.setenv("MCQUIC_MODELS_URL", "")
+    assert demo.loadModel(qp=2) is not None
+
+
+def test_zoo_rejects_corrupted_asset(zoo, monkeypatch, tmp_path):
+    tmp, assets, table = zoo
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    for src in assets.glob("*"):
+        shutil.copy(src, bad / src.name)
+    # corrupt the qp_2 payload without renaming
+    name = next(bad.glob("qp_2_msssim_*.mcquic.npz"))
+    data = bytearray(name.read_bytes())
+    data[-1] ^= 0xFF
+    name.write_bytes(bytes(data))
+    monkeypatch.setenv("MCQUIC_MODELS_URL", bad.as_uri() + "/")
+    monkeypatch.setenv("MCQUIC_MODELS_HASH_FILE", str(tmp / "models_hash.json"))
+    monkeypatch.setenv("MCQUIC_CACHE", str(tmp_path / "cache2"))
+    with pytest.raises(RuntimeError, match="Hash mismatch"):
+        demo.loadModel(qp=2)
+    # the corrupted download was removed from the cache
+    assert not list((tmp_path / "cache2" / "zoo").glob("*.npz"))
+
+
+def test_unregistered_slot_lists_known(zoo, monkeypatch, tmp_path):
+    tmp, _, _ = zoo
+    monkeypatch.setenv("MCQUIC_MODELS_HASH_FILE", str(tmp / "models_hash.json"))
+    monkeypatch.setenv("MCQUIC_CACHE", str(tmp_path / "cache3"))
+    with pytest.raises(RuntimeError, match="qp_2_msssim"):
+        demo.loadModel(qp=7)
