@@ -30,7 +30,28 @@ def registerExternal(paths):
         logger.info("registered external lib %s", p)
 
 
+def _maybeInitDistributed():
+    """Multi-host bootstrap (scripts/multinode.sh; the reference's torchrun
+    rendezvous, multinode.sh:22-30). MCQUIC_MULTIHOST=auto uses the Cloud-TPU
+    metadata path; explicit MCQUIC_COORDINATOR drives any cluster."""
+    import os
+    if os.environ.get("MCQUIC_MULTIHOST", "").lower() == "auto":
+        import jax
+        jax.distributed.initialize()
+        return True
+    coordinator = os.environ.get("MCQUIC_COORDINATOR")
+    if coordinator:
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["MCQUIC_NUM_PROCESSES"]),
+            process_id=int(os.environ["MCQUIC_PROCESS_ID"]))
+        return True
+    return False
+
+
 def main(configPath, resume: bool = False, gen: bool = False):
+    multihost = _maybeInitDistributed()
     config = Config.load(str(configPath))
     train = config.Train
     registerExternal(train.ExternalLib)
@@ -58,7 +79,12 @@ def main(configPath, resume: bool = False, gen: bool = False):
         loaderFn = getGenLoader(train.TrainSet, globalBatch, cropSize=256)
         trainer.train(loaderFn)
     else:
-        loaderFn = getTrainLoader(train.TrainSet, globalBatch, cropSize=512)
+        hostId, hostCount = 0, 1
+        if multihost:
+            import jax
+            hostId, hostCount = jax.process_index(), jax.process_count()
+        loaderFn = getTrainLoader(train.TrainSet, globalBatch, cropSize=512,
+                                  hostId=hostId, hostCount=hostCount)
         # Real-coder validation every ValFreq + best-ckpt saving
         # (reference trainer.py:355-362, 519-529).
         valLoader = None

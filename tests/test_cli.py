@@ -114,3 +114,28 @@ def test_bundled_demo_model_smoke(tmp_path):
                         catch_exceptions=False)
     assert res.exit_code == 0, res.output
     assert np.asarray(Image.open(out)).shape == img.shape
+
+
+def test_multihost_bootstrap_single_process():
+    """MCQUIC_COORDINATOR env drives jax.distributed.initialize (multinode.sh
+    contract); exercised as a real 1-process cluster in a subprocess."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['MCQUIC_COORDINATOR'] = 'localhost:18476'\n"
+        "os.environ['MCQUIC_NUM_PROCESSES'] = '1'\n"
+        "os.environ['MCQUIC_PROCESS_ID'] = '0'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from mcquic_tpu.train.cli import _maybeInitDistributed\n"
+        "assert _maybeInitDistributed() is True\n"
+        "assert jax.process_count() == 1 and jax.process_index() == 0\n"
+        "print('BOOTSTRAP_OK')\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300,
+                         cwd=str(Path(__file__).resolve().parent.parent))
+    assert "BOOTSTRAP_OK" in out.stdout, out.stderr[-2000:]
