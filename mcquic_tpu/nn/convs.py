@@ -61,6 +61,54 @@ def conv1x1(features: int, stride: int = 1, bias: bool = True, groups: int = 1, 
     return Conv(features=features, kernel=1, stride=stride, useBias=bias, groups=groups, dtype=dtype)
 
 
+def subpixelMode() -> str:
+    """'shuffle' (conv then reshape/transpose) or 'deconv' (one transposed
+    conv, FLOP-exact, no transpose ops — see functional.subpixelConvTranspose).
+    Read at trace time; identical parameters and outputs either way."""
+    import os
+    return os.environ.get("MCQUIC_SUBPIXEL", "shuffle")
+
+
+class _UpConv(nn.Module):
+    """conv(k, c*r*r) + depth-to-space, with a mode switch between the
+    shuffle and transposed-conv formulations. Param tree matches nn.Conv
+    (`kernel`/`bias`) so checkpoints are layout-independent."""
+    features: int            # output channels AFTER shuffle
+    kernel: int
+    rate: int
+    groups: int = 1
+    useBias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.lax as lax
+
+        from mcquic_tpu.nn.functional import subpixelConvTranspose
+
+        k, r = self.kernel, self.rate
+        pad = k // 2
+        inC = x.shape[-1]
+        outC = self.features * r * r
+        kernelShape = (k, k, inC // self.groups, outC)
+        W = self.param("kernel", nn.initializers.lecun_normal(), kernelShape,
+                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (outC,), jnp.float32)
+             if self.useBias else None)
+        xc = x.astype(self.dtype)
+        Wc = W.astype(self.dtype)
+        bc = b.astype(self.dtype) if b is not None else None
+        if subpixelMode() == "deconv" and self.groups == 1:
+            return subpixelConvTranspose(xc, Wc, bc, r)
+        y = lax.conv_general_dilated(
+            xc, Wc, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bc is not None:
+            y = y + bc
+        return pixelShuffle(y, r)
+
+
 class PixelShuffleConv(nn.Module):
     """conv(k) + pixel shuffle up/down-sampling (reference convs.py:151-255).
 
@@ -84,12 +132,13 @@ class PixelShuffleConv(nn.Module):
                         feature_group_count=self.groups, dtype=self.dtype, param_dtype=jnp.float32)(x)
             return pixelUnshuffle(y, r)
         r = int(self.rate)
-        y = nn.Conv(self.features * r * r, (self.kernel, self.kernel),
-                    padding=((pad, pad), (pad, pad)), use_bias=self.useBias,
-                    feature_group_count=self.groups, dtype=self.dtype, param_dtype=jnp.float32)(x)
         if r == 1:
-            return y
-        return pixelShuffle(y, r)
+            return nn.Conv(self.features, (self.kernel, self.kernel),
+                           padding=((pad, pad), (pad, pad)), use_bias=self.useBias,
+                           feature_group_count=self.groups, dtype=self.dtype,
+                           param_dtype=jnp.float32)(x)
+        return _UpConv(self.features, self.kernel, r, self.groups,
+                       self.useBias, self.dtype, name="Conv_0")(x)
 
 
 def pixelShuffle3x3(features: int, rate: float = 1, groups: int = 1, dtype=jnp.float32) -> PixelShuffleConv:

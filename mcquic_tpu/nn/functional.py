@@ -117,3 +117,47 @@ def pixelUnshuffle(x, r: int):
     x = x.reshape(n, h, r, w, r, c)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # n, h, w, c, r, r
     return x.reshape(n, h, w, c * r * r)
+
+
+def subpixelTransposeKernel(W, r: int):
+    """Rearrange a subpixel-conv kernel [k,k,cin,c*r*r] (output channels in
+    (c,i,j) shuffle order) into the equivalent transposed-conv kernel
+    [r*k, r*k, cin, c] for `lax.conv_general_dilated(lhs_dilation=r)`.
+
+    Derivation: out[r*p+i, r*q+j, c] = sum_{u,v} W[u,v,:,c*r*r? ...] x[p+u-pad]
+    maps to a correlation over the r-dilated input with kernel index
+    kappa = i + r*(k-1-u) and a final spatial flip for correlation form.
+    FLOP-exact: r*k kernel at stride-r dilation performs exactly k*k taps per
+    output pixel — same MACs as conv-then-shuffle, but XLA emits no transpose
+    (the round-1 profile measured ~3.7 ms per shuffle transpose at /2 res on
+    the target chip; the v1 decoder has 5 of them — NOTES.md)."""
+    k, _, cin, crr = W.shape
+    c = crr // (r * r)
+    # correlation flip composed with the kappa = i + r*(k-1-u) layout leaves
+    # taps unflipped and flips only the phase axes
+    Wr = W.reshape(k, k, cin, c, r, r)[..., ::-1, ::-1]
+    return Wr.transpose(0, 4, 1, 5, 2, 3).reshape(k * r, k * r, cin, c)
+
+
+def subpixelConvTranspose(x, W, bias, r: int):
+    """conv(k)+pixelShuffle(r) computed as ONE transposed conv (see
+    subpixelTransposeKernel). `bias` is the conv's per-(c,i,j) bias or None;
+    it is phase-dependent so it is broadcast-added after the conv (pure
+    reshape + add, fused by XLA)."""
+    k = W.shape[0]
+    pad = k // 2
+    Kf = subpixelTransposeKernel(W, r)
+    kLen = r * k
+    offA = r * (k - 1 - pad)
+    padLo = kLen - 1 - offA
+    padHi = r * k + r - 2 - padLo
+    y = jax.lax.conv_general_dilated(
+        x, Kf, window_strides=(1, 1),
+        padding=((padLo, padHi), (padLo, padHi)), lhs_dilation=(r, r),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        n, hr, wr, c = y.shape
+        bPhase = bias.reshape(c, r, r).transpose(1, 2, 0)  # [r, r, c]
+        y = (y.reshape(n, hr // r, r, wr // r, r, c)
+             + bPhase[None, None, :, None, :, :]).reshape(n, hr, wr, c)
+    return y

@@ -108,3 +108,49 @@ def test_nonlocal_block():
     params = nl.init(jax.random.PRNGKey(1), x)
     y = nl.apply(params, x)
     assert y.shape == x.shape
+
+
+class TestSubpixelDeconv:
+    """conv+pixelShuffle == single transposed conv (functional.
+    subpixelConvTranspose): FLOP-exact reformulation used to eliminate
+    shuffle transposes from the decode path."""
+
+    @pytest.mark.parametrize("kernel", [1, 3, 5])
+    @pytest.mark.parametrize("useBias", [True, False])
+    def test_upconv_modes_identical(self, monkeypatch, kernel, useBias):
+        import jax
+        import jax.numpy as jnp
+
+        from mcquic_tpu.nn.convs import PixelShuffleConv
+
+        module = PixelShuffleConv(features=6, kernel=kernel, rate=2,
+                                  useBias=useBias)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 7, 10))
+        monkeypatch.setenv("MCQUIC_SUBPIXEL", "shuffle")
+        variables = module.init(jax.random.PRNGKey(1), x)
+        ref = module.apply(variables, x)
+        monkeypatch.setenv("MCQUIC_SUBPIXEL", "deconv")
+        alt = module.apply(variables, x)
+        assert ref.shape == alt.shape == (2, 18, 14, 6)
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_full_decoder_identical_across_modes(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from mcquic_tpu.models.compressor import Compressor
+
+        module = Compressor(channel=8, m=2, k=(16, 8))
+        monkeypatch.setenv("MCQUIC_SUBPIXEL", "shuffle")
+        variables = module.init({"params": jax.random.PRNGKey(0),
+                                 "gumbel": jax.random.PRNGKey(1)},
+                                jnp.zeros((1, 64, 64, 3)), train=False)
+        codes = [np.random.default_rng(0).integers(0, kk, (1, 64 // s, 64 // s, 2))
+                 for kk, s in zip((16, 8), (16, 32))]
+        codes = [jnp.asarray(c) for c in codes]
+        ref = module.apply(variables, codes, method="decode")
+        monkeypatch.setenv("MCQUIC_SUBPIXEL", "deconv")
+        alt = module.apply(variables, codes, method="decode")
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
