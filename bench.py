@@ -107,12 +107,19 @@ def main():
         return jnp.concatenate([c.reshape(n, -1) for c in cs], axis=1)
 
     packedDev = jax.block_until_ready(packCodes(lastCodes))
-    np.asarray(packedDev)  # warm
+    packedHost = np.asarray(packedDev)  # warm
     reps = 8
     t0 = time.perf_counter()
     for _ in range(reps):
         packedHost = np.asarray(packCodes(lastCodes))
-    tXfer = (time.perf_counter() - t0) / reps * ITERS
+    tXferDown = (time.perf_counter() - t0) / reps * ITERS
+    # decode-side transfer is the opposite direction: host->device upload of
+    # the packed codes (measured separately — it is NOT the fetch time)
+    jax.block_until_ready(jax.device_put(packedHost))  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(jax.device_put(packedHost))
+    tXferUp = (time.perf_counter() - t0) / reps * ITERS
     codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
 
     # ---- end-to-end sanity + host rANS through the real engine
@@ -132,8 +139,8 @@ def main():
     tDecHost = time.perf_counter() - t0
 
     pixels = ITERS * BATCH * H * W
-    tEnc = tEncDev + tEncHost + tXfer
-    tDec = tDecDev + tDecHost + tXfer
+    tEnc = tEncDev + tEncHost + tXferDown
+    tDec = tDecDev + tDecHost + tXferUp
     encMpps = pixels / tEnc / 1e6
     decMpps = pixels / tDec / 1e6
     combined = pixels / (tEnc + tDec) / 1e6
@@ -146,7 +153,7 @@ def main():
         "detail": {"encodeMpps": round(encMpps, 3), "decodeMpps": round(decMpps, 3),
                    "deviceEncS": round(tEncDev, 3), "deviceDecS": round(tDecDev, 3),
                    "hostRansEncS": round(tEncHost, 3), "hostRansDecS": round(tDecHost, 3),
-                   "transferS": round(tXfer, 3),
+                   "transferDownS": round(tXferDown, 3), "transferUpS": round(tXferUp, 3),
                    "refEncodeMpps": 25.45, "refDecodeMpps": 22.03},
     }))
 

@@ -66,9 +66,12 @@ def vqLogits(x: jax.Array, codebook: jax.Array) -> jax.Array:
 def _usePallasEncode(x: jax.Array, codebook: jax.Array) -> bool:
     import os
     if os.environ.get("MCQUIC_PALLAS") != "1":
-        # Opt-in: some TPU attach paths (remote-compile tunnels) compile
-        # Mosaic kernels pathologically slowly; the chunked XLA path below has
-        # the same no-materialization property with ordinary compile times.
+        # Opt-in, and measured SLOWER on current hardware: the v5e Mosaic
+        # toolchain caps tile dims at 128 (larger blocks fail layout
+        # verification), and at 128x128 tiling the fused kernel re-streams
+        # the codebook per token tile — ~100x slower than the chunked scan
+        # (202 vs 2.0 ms/iter at qp-2 level 0, 2026-08). The chunked XLA path
+        # has the same no-materialization property and is the default.
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -29,22 +29,31 @@ def _roundUp(a, b):
     return _cdiv(a, b) * b
 
 
-def _encodeKernel(x_ref, c_ref, out_ref, best_ref, barg_ref, *, blockK: int):
+def _encodeKernel(x_ref, c_ref, out_ref, best_ref, barg_ref, *, blockK: int,
+                  m: int):
     ik = pl.program_id(1)
     nK = pl.num_programs(1)
 
-    x = x_ref[:]                                   # [m, BT, d]
-    c = c_ref[:]                                   # [m, BK, d]
-    c32 = c.astype(jnp.float32)
-    c2 = jnp.sum(c32 * c32, axis=-1)               # [m, BK]
-    # Batched MXU matmul: [m, BT, d] x [m, BK, d]^T -> [m, BT, BK], fp32 acc.
-    scores = jax.lax.dot_general(
-        x, c, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dist = c2[:, None, :] - 2.0 * scores           # x^2 constant wrt argmin
-
-    localMin = jnp.min(dist, axis=-1)              # [m, BT]
-    localArg = jnp.argmin(dist, axis=-1).astype(jnp.int32) + ik * blockK
+    # Static unroll over the (tiny, 1..12) m groups: keeps every broadcast 2D.
+    # A batched 3D form with `c2[:, None, :]` trips a Mosaic layout
+    # verification failure on the v5e toolchain (bisected 2026-08; see
+    # NOTES.md) — the unrolled 2D matmuls compile in seconds and hit the MXU
+    # identically.
+    localMins, localArgs = [], []
+    for mi in range(m):
+        xm = x_ref[mi]                             # [BT, d]
+        cm = c_ref[mi]                             # [BK, d]
+        c32 = cm.astype(jnp.float32)
+        c2 = jnp.sum(c32 * c32, axis=-1)           # [BK]
+        scores = jax.lax.dot_general(
+            xm, cm, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [BT, BK] fp32 acc (MXU)
+        dist = c2[None, :] - 2.0 * scores          # x^2 constant wrt argmin
+        localMins.append(jnp.min(dist, axis=-1))
+        localArgs.append(jnp.argmin(dist, axis=-1).astype(jnp.int32)
+                         + ik * blockK)
+    localMin = jnp.stack(localMins)                # [m, BT]
+    localArg = jnp.stack(localArgs)
 
     @pl.when(ik == 0)
     def _():
@@ -63,9 +72,17 @@ def _encodeKernel(x_ref, c_ref, out_ref, best_ref, barg_ref, *, blockK: int):
 
 
 @functools.partial(jax.jit, static_argnames=("blockT", "blockK", "interpret"))
-def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 512,
-                    blockK: int = 1024, interpret: bool = False) -> jax.Array:
+def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 128,
+                    blockK: int = 128, interpret: bool = False) -> jax.Array:
     """Nearest-codeword indices, fused.
+
+    Hardware status (v5e via axon, 2026-08): compiles and agrees exactly with
+    the chunked path, but the Mosaic toolchain REJECTS block shapes larger
+    than 128 on either tile axis (layout verification errors), and at the
+    forced 128x128 tiling the kernel re-streams the codebook per token tile
+    and measures ~100x slower than `vq.vqEncodeChunked` (202 vs 2.0 ms for
+    qp-2 level 0). It therefore stays opt-in (MCQUIC_PALLAS=1); revisit if a
+    toolchain that accepts >=512-wide blocks shows up.
 
     Args:
         x: [m, T, d] tokens per group.
@@ -75,11 +92,11 @@ def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 512,
     """
     m, T, d = x.shape
     _, k, _ = codebook.shape
-    # Keep the per-step distance tile (m*BT*BK fp32) within ~4 MiB of VMEM.
-    budget = 4 * 1024 * 1024 // 4
+    # Mosaic (this toolchain) fails layout verification for tile dims > 128.
+    blockT = min(blockT, 128)
+    blockK = min(blockK, 128)
     blockK = min(blockK, _roundUp(max(k, 128), 128))
-    maxBT = max(budget // (m * blockK), 8)
-    blockT = min(blockT, maxBT, _roundUp(max(T, 8), 8))
+    blockT = min(blockT, _roundUp(max(T, 8), 8))
     blockT = _roundUp(blockT, 8) if blockT >= 8 else 8
 
     Tp = _roundUp(T, blockT)
@@ -93,7 +110,7 @@ def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 512,
 
     grid = (Tp // blockT, Kp // blockK)
     out = pl.pallas_call(
-        functools.partial(_encodeKernel, blockK=blockK),
+        functools.partial(_encodeKernel, blockK=blockK, m=m),
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, blockT, d), lambda it, ik: (0, it, 0)),

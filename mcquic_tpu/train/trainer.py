@@ -39,7 +39,7 @@ SEED = 3407  # reference train/utils.py:332
 
 class Trainer:
     def __init__(self, config: Config, module=None, lpipsFn: Optional[Callable] = None,
-                 mesh=None, inputShape=(512, 512)):
+                 mesh=None, inputShape=(512, 512), ckptBackend: Optional[str] = None):
         self._config = config
         self._mesh = mesh if mesh is not None else makeMesh()
         train = config.Train
@@ -96,6 +96,18 @@ class Trainer:
         # (reference auto-resume semantics, train/cli.py:31-39).
         self._saver = Saver(train.SaveDir) if train.SaveDir else None
         self._resumePath = self._saver.PreviousCkpt if self._saver else None
+        # Checkpoint backend: 'npz' (rank-0 gather, default) or 'orbax'
+        # (async per-shard writes + restore-into-sharding — the multi-host
+        # path; reference analogue is OSS consolidate + rank-0 save,
+        # trainer.py:112-117). Select via arg or MCQUIC_CKPT_BACKEND.
+        import os as _os
+        backend = ckptBackend or _os.environ.get("MCQUIC_CKPT_BACKEND", "npz")
+        if backend not in ("npz", "orbax"):
+            raise ValueError(f"unknown ckptBackend {backend!r}")
+        self._orbax = None
+        if backend == "orbax" and train.SaveDir:
+            from mcquic_tpu.train.orbax_saver import OrbaxSaver
+            self._orbax = OrbaxSaver(train.SaveDir)
         self._bestDistortion = float("-inf")
         self._lastValExtras = {"pairs": [], "codes": None}
         from mcquic_tpu.train.hooks import getAllHooks
@@ -127,6 +139,13 @@ class Trainer:
 
     # ----------------------------------------------------------------- resume
     def tryResume(self) -> bool:
+        if self._orbax is not None:
+            if self._orbax.latestStep() is None:
+                return False
+            self._state = jax.device_put(self._orbax.restore(self._state),
+                                         self._stateShardings)
+            logger.info("Resumed from orbax step %s", int(self._state.step))
+            return True
         path = self._resumePath
         if path is None or not Path(path).exists():
             return False
@@ -145,6 +164,9 @@ class Trainer:
         return True
 
     def save(self):
+        if self._orbax is not None:
+            self._orbax.save(int(self._state.step), self._state)
+            return
         if self._saver is None:
             return
         # optax states are namedtuples — store leaves by index and restore

@@ -13,6 +13,11 @@ import numpy as np
 
 class InceptionScoreHandler:
     def __init__(self, classifierFn: Optional[Callable] = None, splits: int = 10):
+        if classifierFn is None:
+            # auto-assemble the flax InceptionV3 when torchvision weights are
+            # locatable (MCQUIC_INCEPTION_WEIGHTS), mirroring the LPIPS gate
+            from mcquic_tpu.validate.inception_v3 import makeInceptionClassifier
+            classifierFn = makeInceptionClassifier()
         self._classifierFn = classifierFn
         self._splits = splits
         self._probs: List[np.ndarray] = []

@@ -97,3 +97,27 @@ def test_orbax_saver_roundtrip(tmp_path):
     np.testing.assert_allclose(restored["a"], np.arange(8) * 2)
     np.testing.assert_allclose(restored["b"]["c"], np.ones((2, 3)) * 2)
     saver.close()
+
+
+def test_trainer_orbax_backend_save_resume(tmp_path):
+    """MCQUIC_CKPT_BACKEND=orbax: async sharded checkpoints + resume into the
+    existing shardings (multi-host path; replaces OSS consolidate+rank0-save,
+    reference trainer.py:112-117)."""
+    cfg = _tinyConfig(tmp_path, hooks=False)
+    module = Compressor(channel=8, m=2, k=(16, 8))
+    tr = Trainer(cfg, module=module, lpipsFn=False, inputShape=(32, 32),
+                 ckptBackend="orbax")
+    rng = np.random.default_rng(0)
+    batch = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+    tr.trainStep(batch)
+    tr.trainStep(batch)
+    tr.save()
+    tr._orbax.waitUntilFinished()
+
+    tr2 = Trainer(cfg, module=module, lpipsFn=False, inputShape=(32, 32),
+                  ckptBackend="orbax")
+    assert tr2.tryResume()
+    assert int(tr2.state.step) == 2
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
