@@ -49,7 +49,7 @@ def test_cli_auto_resume_continues_from_saved_step(tmp_path, monkeypatch):
     _writeImages(tmp_path / "imgs")
     # small crops so the tiny model trains fast
     monkeypatch.setattr(trainCli, "getTrainLoader",
-                        lambda p, b, cropSize=512: getTrainLoader(p, b, cropSize=32))
+                        lambda p, b, cropSize=512, **kw: getTrainLoader(p, b, cropSize=32, **kw))
 
     # run 1: train 2 steps, save, "preempt"
     cfgPath = _writeCfg(tmp_path, _cfg(tmp_path, totalStep=2))
@@ -81,7 +81,7 @@ def test_cli_runs_validation_and_saves_best(tmp_path, monkeypatch):
     # val images must be >= the 256px aligned crop (smaller ones are skipped)
     _writeImages(tmp_path / "val", n=2, size=256, seed=7)
     monkeypatch.setattr(trainCli, "getTrainLoader",
-                        lambda p, b, cropSize=512: getTrainLoader(p, b, cropSize=32))
+                        lambda p, b, cropSize=512, **kw: getTrainLoader(p, b, cropSize=32, **kw))
 
     valCalls = []
     from mcquic_tpu.train.trainer import Trainer

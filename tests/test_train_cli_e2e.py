@@ -51,7 +51,7 @@ def test_train_cli_end_to_end(tmp_path):
     from mcquic_tpu.data import getTrainLoader
 
     origLoader = trainCli.getTrainLoader
-    trainCli.getTrainLoader = lambda p, b, cropSize=512: origLoader(p, b, cropSize=32)
+    trainCli.getTrainLoader = lambda p, b, cropSize=512, **kw: origLoader(p, b, cropSize=32, **kw)
     try:
         trainer = trainMain(cfgPath)
     finally:
