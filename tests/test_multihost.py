@@ -1,0 +1,52 @@
+"""Real multi-process SPMD: 2 jax.distributed processes x 2 virtual devices
+run the actual stage-1 train step over the global mesh (SURVEY.md §4 rebuild
+plan (d): multi-host correctness on a single machine; replaces the
+reference's operational-only torchrun validation, multinode.sh:22-30)."""
+import re
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+HERE = Path(__file__).resolve().parent
+
+
+def _freePort() -> int:
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        return sock.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_step_agrees():
+    port = _freePort()
+    workers = [subprocess.Popen(
+        [sys.executable, str(HERE / "multihost_worker.py"), str(pid), "2",
+         str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(HERE.parent)) for pid in range(2)]
+    outs = []
+    for proc in workers:
+        try:
+            out, err = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for p in workers:
+                p.kill()
+            raise
+        assert proc.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        match = re.search(r"MHRESULT pid=(\d+) step=(\d+) loss=([\d.eE+-]+) "
+                          r"checksum=([\d.eE+-]+)", out)
+        assert match, f"no result line in: {out[-500:]}"
+        results[int(match.group(1))] = (match.group(2), match.group(3),
+                                        match.group(4))
+    assert set(results) == {0, 1}
+    # replicated state must be identical across processes after 2 steps of
+    # cross-process gradient reduction
+    assert results[0] == results[1], results
+    assert results[0][0] == "2"
