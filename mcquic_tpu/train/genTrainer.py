@@ -141,6 +141,13 @@ class GenTrainer:
         self._saver = Saver(train.SaveDir) if train.SaveDir else None
         self._resumePath = self._saver.PreviousCkpt if self._saver else None
         self._schedule = schedule
+        from mcquic_tpu.train.hooks import getAllHooks
+        self._hooks = getAllHooks(train.Hooks)  # phase -> [hook]
+
+    def _runHooks(self, phase, step: int):
+        from mcquic_tpu.train.hooks import HookType
+        for hook in self._hooks.get(HookType(phase), []):
+            hook(self, step)
 
     @property
     def state(self):
@@ -196,10 +203,14 @@ class GenTrainer:
         import math as _math
         import time as _time
         lastLog = _time.time()
+        self._runHooks("beforeRun", step)
         while step < total:
+            self._runHooks("epochStart", step)
             for images, labels in loaderFn():
+                self._runHooks("stepStart", step)
                 metrics = self.trainStep(images, labels)
                 step += 1
+                self._runHooks("stepFinish", step)
                 if step % 100 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not _math.isfinite(m["loss"]):
@@ -213,5 +224,7 @@ class GenTrainer:
                     self.save()
                 if step >= total:
                     break
+            self._runHooks("epochFinish", step)
         self.save()
+        self._runHooks("afterRun", step)
         return self._state

@@ -171,3 +171,35 @@ def test_dataset_builder_parallel_jobs_deterministic(tmp_path):
     import json
     meta = json.loads((outs[0] / "metadata.json").read_text())
     assert meta["count"] == 5 and meta["shards"] == 2
+
+
+def test_gen_shard_loader_with_wnid_keys(tmp_path):
+    """Gen loader streams wnid-keyed webdataset shards with labels derived
+    from the key prefix (reference data/__init__.py:89: __key__.split('_')[0])."""
+    import io
+    import tarfile as tarmod
+
+    from PIL import Image
+
+    from mcquic_tpu.data.imagenet_classes import getGenLoader, shardClassIndex
+
+    rng = np.random.default_rng(5)
+    wnids = ["n01440764", "n01443537"]
+    with tarmod.open(tmp_path / "gen_00000.tar", "w") as tf:
+        for wnid in wnids:
+            for i in range(3):
+                img = Image.fromarray(rng.integers(0, 256, (80, 80, 3), dtype=np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                info = tarmod.TarInfo(f"{wnid}_{i}.jpg")
+                info.size = buf.getbuffer().nbytes
+                tf.addfile(info, io.BytesIO(buf.getvalue()))
+    pattern = str(tmp_path / "*.tar")
+    assert shardClassIndex(pattern) == {"n01440764": 0, "n01443537": 1}
+    loaderFn = getGenLoader(pattern, batchSize=2, cropSize=32)
+    images, labels = next(iter(loaderFn()))
+    assert images.shape == (2, 32, 32, 3) and images.dtype == np.uint8
+    assert labels.dtype == np.int32 and set(labels) <= {0, 1}
+    # sidecar classes.json overrides the scan (full class set)
+    (tmp_path / "classes.json").write_text('["n01440764", "n01443537", "n01484850"]')
+    assert len(shardClassIndex(pattern)) == 3
