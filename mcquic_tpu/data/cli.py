@@ -13,7 +13,10 @@ Parity with reference `mcquic/data/cli.py`:
     (`data/cli_image_text.py:34-42`).
 
 Unlike the reference (which shuffles the file list), the writer order is
-deterministic — same inputs produce byte-identical shards for any `jobs`.
+deterministic: same inputs at the same `jobs` produce byte-identical shards
+run-to-run, and the SAMPLE SET is identical across `jobs` values (shard-file
+composition follows the split boundaries, so shard bytes differ between
+different `jobs` settings).
 """
 import gzip
 import io
@@ -146,12 +149,13 @@ def main(images: Path, output: Path, jobs: int = 1, gen: bool = False):
                 len(files), len(files) / max(time.time() - start, 1e-9))
 
     # ---- parallel shard writers over deterministic contiguous chunks
+    # (empty chunks are dropped — they would stage empty archives)
     chunk = (len(kept) + jobs - 1) // jobs if kept else 0
-    groups = [kept[r * chunk:(r + 1) * chunk] for r in range(jobs)]
-    starts = [r * chunk for r in range(jobs)]
-    counts = Parallel(n_jobs=jobs, backend="threading")(
+    groups = [(r, r * chunk, kept[r * chunk:(r + 1) * chunk])
+              for r in range(jobs) if kept[r * chunk:(r + 1) * chunk]]
+    counts = Parallel(n_jobs=max(len(groups), 1), backend="threading")(
         delayed(_writeSplit)(rank, st, grp, output, gen)
-        for rank, (st, grp) in enumerate(zip(starts, groups)))
+        for rank, st, grp in groups)
     total = int(sum(counts))
 
     shards = _mergeSplits(output)

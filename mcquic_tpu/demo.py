@@ -80,8 +80,13 @@ def fetchZooModel(qp: int, mse: bool = False) -> Path:
         sidecar = name[:-len(".npz")] + ".json"
         try:
             urllib.request.urlretrieve(base + sidecar, path.with_suffix(".json"))
-        except Exception:
-            pass  # metadata may be embedded; loadTree will complain if not
+        except Exception as exc:
+            # a cached npz without its metadata sidecar would be permanently
+            # unusable — drop the payload so the next call re-fetches both
+            path.unlink(missing_ok=True)
+            raise RuntimeError(
+                f"Failed to fetch model metadata sidecar {sidecar}: {exc}"
+            ) from exc
     actual = hashOfFile(str(path))
     if not actual.startswith(digest):
         path.unlink(missing_ok=True)

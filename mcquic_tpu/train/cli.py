@@ -70,20 +70,24 @@ def main(configPath, resume: bool = False, gen: bool = False):
         logger.info("auto-resumed training from %s", train.SaveDir)
 
     # batchSize is per data-parallel shard (reference semantics: per GPU);
-    # a single SPMD loader feeds the whole mesh.
+    # each process loads only ITS slice of the global batch — the trainer
+    # assembles the global array from per-process local data.
+    hostId, hostCount = 0, 1
+    if multihost:
+        import jax
+        hostId, hostCount = jax.process_index(), jax.process_count()
     globalBatch = train.BatchSize * trainer.dataParallelSize
+    localBatch = max(globalBatch // hostCount, 1)
     if gen:
         # class-conditional loader: (images, labels) from an imagenet-style
-        # folder (reference gen path, data/__init__.py:109-122)
+        # folder or wnid-keyed shards (reference gen path,
+        # data/__init__.py:109-122)
         from mcquic_tpu.data.imagenet_classes import getGenLoader
-        loaderFn = getGenLoader(train.TrainSet, globalBatch, cropSize=256)
+        loaderFn = getGenLoader(train.TrainSet, localBatch, cropSize=256,
+                                hostId=hostId, hostCount=hostCount)
         trainer.train(loaderFn)
     else:
-        hostId, hostCount = 0, 1
-        if multihost:
-            import jax
-            hostId, hostCount = jax.process_index(), jax.process_count()
-        loaderFn = getTrainLoader(train.TrainSet, globalBatch, cropSize=512,
+        loaderFn = getTrainLoader(train.TrainSet, localBatch, cropSize=512,
                                   hostId=hostId, hostCount=hostCount)
         # Real-coder validation every ValFreq + best-ckpt saving
         # (reference trainer.py:355-362, 519-529).

@@ -162,8 +162,9 @@ class GenTrainer:
         return self._module
 
     def trainStep(self, images: np.ndarray, labels: np.ndarray) -> dict:
-        images = jax.device_put(jnp.asarray(images), self._batchSharding)
-        labels = jax.device_put(jnp.asarray(labels, jnp.int32), self._batchSharding)
+        from mcquic_tpu.train.trainer import _putBatch
+        images = _putBatch(np.asarray(images), self._batchSharding)
+        labels = _putBatch(np.asarray(labels, np.int32), self._batchSharding)
         self._state, metrics = self._jitStep(self._state, images, labels)
         return metrics
 

@@ -188,7 +188,7 @@ class Trainer:
         batch = np.asarray(batch)
         if batch.dtype != np.uint8:
             batch = batch.astype(np.float32, copy=False)
-        batch = jax.device_put(jnp.asarray(batch), self._batchSharding)
+        batch = _putBatch(batch, self._batchSharding)
         self._state, metrics = self._jitStep(self._state, batch)
         return metrics
 
@@ -319,6 +319,17 @@ class Trainer:
 
     def codeUsage(self) -> float:
         return float(codeUsage(jax.device_get(self._state)))
+
+
+def _putBatch(batch: np.ndarray, sharding):
+    """Single-process: plain device_put. Multi-process: each host holds its
+    LOCAL slice of the global batch; assemble the global array from the
+    process-local data (device_put onto non-addressable shards would fail)."""
+    if jax.process_count() > 1:
+        globalShape = (batch.shape[0] * jax.process_count(), *batch.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, batch,
+                                                      globalShape)
+    return jax.device_put(jnp.asarray(batch), sharding)
 
 
 def _adaptModelParams(params: dict) -> dict:

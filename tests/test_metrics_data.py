@@ -203,3 +203,29 @@ def test_gen_shard_loader_with_wnid_keys(tmp_path):
     # sidecar classes.json overrides the scan (full class set)
     (tmp_path / "classes.json").write_text('["n01440764", "n01443537", "n01484850"]')
     assert len(shardClassIndex(pattern)) == 3
+
+
+def test_dataset_builder_more_jobs_than_images(tmp_path):
+    """jobs > kept images must not stage/merge empty shards (review finding)."""
+    import json
+    import tarfile as tarmod
+
+    from PIL import Image
+
+    from mcquic_tpu.data.cli import main as buildDataset
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (520, 520, 3), dtype=np.uint8)
+                        ).save(src / f"im{i}.png")
+    out = tmp_path / "shards"
+    assert buildDataset(src, out, jobs=8) == 3
+    shards = sorted(out.glob("*.tar.gz"))
+    assert len(shards) == 3  # one per non-empty chunk, none empty
+    for shard in shards:
+        with tarmod.open(shard) as tf:
+            assert len(tf.getmembers()) >= 1
+    meta = json.loads((out / "metadata.json").read_text())
+    assert meta == {"count": 3, "shards": 3, "imageText": False}

@@ -103,3 +103,20 @@ def test_unregistered_slot_lists_known(zoo, monkeypatch, tmp_path):
     monkeypatch.setenv("MCQUIC_CACHE", str(tmp_path / "cache3"))
     with pytest.raises(RuntimeError, match="qp_2_msssim"):
         demo.loadModel(qp=7)
+
+
+def test_missing_sidecar_fails_loud_and_cleans_cache(zoo, monkeypatch, tmp_path):
+    """A payload without its metadata sidecar must not poison the cache
+    (review finding: swallowed sidecar errors left a permanently broken
+    entry)."""
+    tmp, assets, table = zoo
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    for src in assets.glob("*.npz"):
+        shutil.copy(src, partial / src.name)  # no .json sidecars
+    monkeypatch.setenv("MCQUIC_MODELS_URL", partial.as_uri() + "/")
+    monkeypatch.setenv("MCQUIC_MODELS_HASH_FILE", str(tmp / "models_hash.json"))
+    monkeypatch.setenv("MCQUIC_CACHE", str(tmp_path / "cacheX"))
+    with pytest.raises(RuntimeError, match="sidecar"):
+        demo.loadModel(qp=2)
+    assert not list((tmp_path / "cacheX" / "zoo").glob("*.npz"))

@@ -16,7 +16,8 @@ parity precondition (BASELINE.md north star).
 """
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # torch is optional for the package
 
 import jax
 import jax.numpy as jnp
