@@ -132,3 +132,64 @@ def test_converted_codes_roundtrip_through_our_coder(refPkg):
     decoded = coder.decompress(binaries, codeSizes)
     for lv in range(3):
         np.testing.assert_array_equal(decoded[lv], refCodes[lv])
+
+
+def _buildNeonPair(channel, k, size, seed=0):
+    from mcquic.modules.compressor import Neon as RefNeon
+
+    from mcquic_tpu.models.compressor import Neon
+    from mcquic_tpu.utils.convert import convertNeon
+
+    torch.manual_seed(seed)
+    ref = RefNeon(channel, k, list(size), False).double().eval()
+    stateDict = {key: val.detach().cpu().double().numpy()
+                 for key, val in ref.state_dict().items()}
+    variables = convertNeon(stateDict, channel, k, list(size))
+    module = Neon(channel=channel, k=k, size=tuple(size), useRemat=False,
+                  dtype=jnp.float64)
+    return ref, module, variables
+
+
+def test_v2_neon_model_parity(refPkg):
+    """v2 Neon tokenizer parity: the ACTIVE reference path (compressor.py:
+    181-241, ResidualBackwardQuantizer quantizer.py:577-765) — codes
+    bit-exact, decode <1e-8, and raw-codes bitstream bytes identical between
+    the reference's VariousMCoder and our RansCoder 'plain' mode."""
+    channel, k, size = 8, 16, [8, 4, 2, 2]
+    with jax.enable_x64():
+        ref, module, variables = _buildNeonPair(channel, k, size)
+        rng = np.random.default_rng(0)
+        img = rng.uniform(-1.0, 1.0, size=(1, 128, 128, 3))
+        xT = torch.from_numpy(np.transpose(img, (0, 3, 1, 2))).double()
+        with torch.inference_mode():
+            refCodes = [c.numpy() for c in ref.encode(xT)]  # small->large
+        ourCodes = jax.jit(
+            lambda v, x: module.apply(v, x, method="encode"))(variables, img)
+        assert len(ourCodes) == len(refCodes)
+        for lv, (ours, theirs) in enumerate(zip(ourCodes, refCodes)):
+            oursT = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+            assert (oursT == theirs).all(), f"level {lv} code mismatch"
+
+        with torch.inference_mode():
+            refOut = ref.decode([torch.from_numpy(c) for c in refCodes]).numpy()
+        codesNHWM = [np.transpose(c, (0, 2, 3, 1)) for c in refCodes]
+        ourOut = jax.jit(
+            lambda v, c: module.apply(v, c, method="decode"))(variables, codesNHWM)
+        ourOutT = np.transpose(np.asarray(ourOut), (0, 3, 1, 2))
+        diff = np.abs(ourOutT - refOut)
+        assert diff.max() < 1e-8, f"decode max abs diff {diff.max():.3e}"
+
+        # bitstream: reference VariousMCoder raw-codes bytes == our 'plain'
+        # mode bytes (entropyCoder.py:401/421)
+        with torch.inference_mode():
+            refBins, refSizes = ref._quantizer._entropyCoder.compress(
+                [torch.from_numpy(c) for c in refCodes])
+    coder = RansCoder([1] * len(size), [k] * len(size), mode="plain")
+    ourBins, ourSizes = coder.compress([c.astype(np.int64) for c in refCodes])
+    for img_i in range(len(ourBins)):
+        for lv in range(len(size)):
+            assert ourBins[img_i][lv] == refBins[img_i][lv], \
+                f"plain bitstream differs at image {img_i} level {lv}"
+    decoded = coder.decompress(ourBins, ourSizes)
+    for lv in range(len(size)):
+        np.testing.assert_array_equal(decoded[lv], refCodes[lv])
