@@ -57,6 +57,7 @@ def test_cli_help_of_every_subcommand():
         assert res.exit_code == 0
 
 
+@pytest.mark.slow
 def test_cli_generate_subcommand(tmp_path):
     """End-to-end `mcquic generate` on a tiny generator checkpoint."""
     import jax

@@ -104,6 +104,7 @@ def test_v1_training_forward():
     assert any(float(jnp.std(f)) > 0 for f in flat)
 
 
+@pytest.mark.slow
 def test_neon_training_forward_and_grads():
     module = Neon(channel=8, k=16, size=(2, 1, 1), denseNorm=False, useRemat=False)
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))

@@ -4,6 +4,7 @@ Covers the reference loop: training updates freqEMA via the entropy coder
 (entropyCoder.py:306-322) -> CDFs lazily rebuilt (entropyCoder.py:50-63) ->
 compress uses the learned tables, shrinking skewed-code streams.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,7 @@ from mcquic_tpu.models.compressor import Compressor
 from mcquic_tpu.models.engine import CompressorEngine
 
 
+@pytest.mark.slow
 def test_freq_ema_improves_compression():
     module = Compressor(channel=8, m=1, k=(16,))
     x0 = jnp.zeros((2, 128, 128, 3))

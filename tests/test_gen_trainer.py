@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# heavyweight integration module: runs in the CI slow tier
+pytestmark = pytest.mark.slow
+
 from mcquic_tpu.config import Config
 from mcquic_tpu.models.generator import GeneratorV3SelfAttention
 from mcquic_tpu.train.genTrainer import GenTrainer

@@ -44,6 +44,7 @@ def test_generator_training_forward(tinyGen):
     assert len(perLevel) == 3
 
 
+@pytest.mark.slow
 def test_generator_frozen_compressor_gets_no_grads(tinyGen):
     module, variables = tinyGen
     img = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3), minval=-1, maxval=1)

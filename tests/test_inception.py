@@ -41,6 +41,7 @@ def _torchShapedSd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_converter_folds_bn_and_matches_module():
     rng = np.random.default_rng(0)
     sd = _torchShapedSd(rng)

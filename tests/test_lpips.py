@@ -109,6 +109,7 @@ def test_trainer_auto_wires_lpips(monkeypatch, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_trainer_explicit_opt_out(tmp_path):
     """lpipsFn=False skips both auto-assembly and the warning path."""
     from mcquic_tpu.config import Config

@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+# heavyweight integration module: runs in the CI slow tier
+pytestmark = pytest.mark.slow
+
 from mcquic_tpu.config import Config
 from mcquic_tpu.models.compressor import Compressor
 from mcquic_tpu.train.hooks import HookType
