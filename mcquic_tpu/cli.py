@@ -48,16 +48,19 @@ def entryPoint(ctx):
 @click.option("--disable-gpu", is_flag=True, help="Force CPU execution.")
 @click.option("--mse", is_flag=True, help="Use MSE-optimized models.")
 @click.option("--crop", is_flag=True, help="Center-crop input to 128-multiples.")
+@click.option("--tile", type=int, default=0,
+              help="Tile size for high-resolution images (0 = whole-image; "
+                   "tiled .mcq files are auto-detected on restore).")
 @click.argument("input", type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path))
 @click.argument("output", type=click.Path(dir_okay=True, path_type=pathlib.Path), required=False)
-def defaultEntry(debug, quiet, qp, local, disable_gpu, mse, crop, input, output):
+def defaultEntry(debug, quiet, qp, local, disable_gpu, mse, crop, tile, input, output):
     """Compress IMAGE -> .mcq, or restore .MCQ -> image (reference cli.py:40-61)."""
     _setupLogging(debug, quiet)
     if disable_gpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     from mcquic_tpu.demo import main
-    main(qp, local, disable_gpu, mse, crop, input, output)
+    main(qp, local, disable_gpu, mse, crop, input, output, tile=tile)
 
 
 @entryPoint.command()

@@ -136,16 +136,28 @@ def writeImage(path: Path, img: np.ndarray):
 
 
 def main(qp: int, local, disable_gpu: bool, mse: bool, crop: bool,
-         inputPath: Path, outputPath: Path):
-    """Suffix dispatch (demo.py:45-77)."""
+         inputPath: Path, outputPath: Path, tile: int = 0):
+    """Suffix dispatch (demo.py:45-77); `tile` > 0 codes high-resolution
+    images as a fixed tile grid (models/tiling.py, BASELINE config 3)."""
+    from mcquic_tpu.models.tiling import (TiledFile, compressTiled,
+                                          decompressTiled)
+
     inputPath = Path(inputPath)
     if inputPath.suffix.lower() == ".mcq":
-        file = File.deserialize(inputPath.read_bytes())
-        if local is None and qp is None:
-            # qp auto-detect from header (demo.py:79-107)
-            qp = int(file.FileHeader.QuantizationParameter)
-        engine = loadModel(qp=qp, local=local, mse=mse)
-        restored = engine.decompressImage(file)
+        data = inputPath.read_bytes()
+        if TiledFile.isTiled(data):
+            tf = TiledFile.deserialize(data)
+            if local is None and qp is None:
+                qp = int(tf.qp)
+            engine = loadModel(qp=qp, local=local, mse=mse)
+            restored = decompressTiled(engine, tf)
+        else:
+            file = File.deserialize(data)
+            if local is None and qp is None:
+                # qp auto-detect from header (demo.py:79-107)
+                qp = int(file.FileHeader.QuantizationParameter)
+            engine = loadModel(qp=qp, local=local, mse=mse)
+            restored = engine.decompressImage(file)
         out = Path(outputPath) if outputPath else inputPath.with_suffix(".png")
         if out.is_dir():
             out = out / (inputPath.stem + ".png")
@@ -157,7 +169,10 @@ def main(qp: int, local, disable_gpu: bool, mse: bool, crop: bool,
         if crop:
             img = alignedCrop(img, 128)
         engine = loadModel(qp=qp, local=local, mse=mse)
-        file = engine.compressImage(img)
+        if tile:
+            file = compressTiled(engine, img, tile=tile)
+        else:
+            file = engine.compressImage(img)
         out = Path(outputPath) if outputPath else inputPath.with_suffix(".mcq")
         if out.is_dir():
             out = out / (inputPath.stem + ".mcq")

@@ -29,16 +29,26 @@ class TiledFile:
     width: int
     binaries: List[List[bytes]]        # per tile, per level
     codeSize: CodeSize
+    qp: str = "-1"
 
     def serialize(self) -> bytes:
         return msgpack.packb({
             "grid": {"rows": self.rows, "cols": self.cols, "tile": self.tile,
                      "height": self.height, "width": self.width},
             "version": mcquic_tpu.__version__,
+            "qp": self.qp,
             "codeSize": {"m": self.codeSize.m, "heights": self.codeSize.heights,
                          "widths": self.codeSize.widths, "k": self.codeSize.k},
             "contents": [list(levels) for levels in self.binaries],
         }, use_bin_type=True)
+
+    @staticmethod
+    def isTiled(data: bytes) -> bool:
+        try:
+            d = msgpack.unpackb(data, raw=False)
+            return isinstance(d, dict) and "grid" in d
+        except Exception:
+            return False
 
     @staticmethod
     def deserialize(data: bytes) -> "TiledFile":
@@ -49,12 +59,19 @@ class TiledFile:
                          height=g["height"], width=g["width"],
                          binaries=[[bytes(b) for b in lv] for lv in d["contents"]],
                          codeSize=CodeSize(m=list(cs["m"]), heights=list(cs["heights"]),
-                                           widths=list(cs["widths"]), k=list(cs["k"])))
+                                           widths=list(cs["widths"]), k=list(cs["k"])),
+                         qp=str(d.get("qp", "-1")))
 
     @property
     def BPP(self) -> float:
         total = sum(len(b) for levels in self.binaries for b in levels)
         return total * 8 / (self.height * self.width)
+
+    def __str__(self) -> str:
+        total = sum(len(b) for levels in self.binaries for b in levels)
+        return (f"Tiled {self.height}x{self.width} as {self.rows}x{self.cols} "
+                f"of {self.tile}px (qp {self.qp})\n"
+                f"Size  : {total} B\nBPP   : {self.BPP:.4f}")
 
 
 def _toTiles(img: np.ndarray, tile: int) -> Tuple[np.ndarray, int, int]:
@@ -80,7 +97,8 @@ def compressTiled(engine, img: np.ndarray, tile: int = 1024) -> TiledFile:
     x = imageToModelInput(tiles)
     codes, binaries, headers = engine.compress(x)
     return TiledFile(rows=rows, cols=cols, tile=tile, height=h, width=w,
-                     binaries=binaries, codeSize=headers[0].CodeSize)
+                     binaries=binaries, codeSize=headers[0].CodeSize,
+                     qp=str(engine.QuantizationParameter))
 
 
 def decompressTiled(engine, tf: TiledFile) -> np.ndarray:
