@@ -19,6 +19,26 @@ def _banner() -> str:
 def _setupLogging(debug: bool, quiet: bool):
     level = logging.DEBUG if debug else (logging.WARNING if quiet else logging.INFO)
     logging.basicConfig(level=level, format="%(asctime)s %(levelname)s %(message)s")
+    _enableCompileCache()
+
+
+def _enableCompileCache():
+    """Persistent XLA compile cache for every CLI entry (repeat runs of the
+    same model/geometry skip the multi-minute TPU compiles; ~/.cache default,
+    MCQUIC_JAX_CACHE overrides, empty string disables)."""
+    import os
+    cacheDir = os.environ.get(
+        "MCQUIC_JAX_CACHE",
+        os.path.join(os.path.expanduser("~/.cache/mcquic_tpu"), "jax_cache"))
+    if not cacheDir:
+        return
+    try:
+        import jax
+        os.makedirs(cacheDir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cacheDir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # cache is best-effort
+        pass
 
 
 class DefaultGroup(click.Group):
