@@ -154,3 +154,29 @@ class TestSubpixelDeconv:
         alt = module.apply(variables, codes, method="decode")
         np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+    def test_upconv_gradients_identical_across_modes(self, monkeypatch):
+        """Training runs through the deconv path on TPU: parameter gradients
+        must match the shuffle form (exact-equal functions, equal grads)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mcquic_tpu.nn.convs import PixelShuffleConv
+
+        module = PixelShuffleConv(features=4, kernel=3, rate=2)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 6))
+        monkeypatch.setenv("MCQUIC_SUBPIXEL", "shuffle")
+        variables = module.init(jax.random.PRNGKey(3), x)
+
+        def loss(v, x):
+            y = module.apply(v, x)
+            return jnp.sum(y * y)
+
+        gradShuffle = jax.grad(loss)(variables, x)
+        monkeypatch.setenv("MCQUIC_SUBPIXEL", "deconv")
+        gradDeconv = jax.grad(loss)(variables, x)
+        flatA = jax.tree_util.tree_leaves(gradShuffle)
+        flatB = jax.tree_util.tree_leaves(gradDeconv)
+        for a, b in zip(flatA, flatB):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4, rtol=1e-4)
