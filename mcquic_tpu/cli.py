@@ -68,7 +68,7 @@ def entryPoint(ctx):
 @click.option("--disable-gpu", is_flag=True, help="Force CPU execution.")
 @click.option("--mse", is_flag=True, help="Use MSE-optimized models.")
 @click.option("--crop", is_flag=True, help="Center-crop input to 128-multiples.")
-@click.option("--tile", type=int, default=0,
+@click.option("--tile", type=click.IntRange(min=0), default=0,
               help="Tile size for high-resolution images (0 = whole-image; "
                    "tiled .mcq files are auto-detected on restore).")
 @click.argument("input", type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path))

@@ -44,15 +44,18 @@ class TiledFile:
 
     @staticmethod
     def isTiled(data: bytes) -> bool:
-        try:
-            d = msgpack.unpackb(data, raw=False)
-            return isinstance(d, dict) and "grid" in d
-        except Exception:
-            return False
+        """Cheap prefix sniff: the tiled container is a msgpack fixmap whose
+        first key is the 4-char str 'grid' (serialize() writes keys in that
+        order) — no full parse of multi-MB payloads."""
+        return (len(data) > 6 and 0x80 <= data[0] <= 0x8F
+                and data[1:6] == b"\xa4grid")
 
     @staticmethod
     def deserialize(data: bytes) -> "TiledFile":
+        from mcquic_tpu.utils import versionCheck
+
         d = msgpack.unpackb(data, raw=False)
+        versionCheck(str(d.get("version", mcquic_tpu.__version__)))
         g = d["grid"]
         cs = d["codeSize"]
         return TiledFile(rows=g["rows"], cols=g["cols"], tile=g["tile"],

@@ -37,9 +37,15 @@ def main():
     name = upload.name
     data = upload.read()
     if name.endswith(".mcq"):
-        file = File.deserialize(data)
-        st.text(str(file))
-        restored = engine.decompressImage(file)
+        from mcquic_tpu.models.tiling import TiledFile, decompressTiled
+        if TiledFile.isTiled(data):
+            tf = TiledFile.deserialize(data)
+            st.text(str(tf))
+            restored = decompressTiled(engine, tf)
+        else:
+            file = File.deserialize(data)
+            st.text(str(file))
+            restored = engine.decompressImage(file)
         st.image(restored)
         buf = io.BytesIO()
         from PIL import Image

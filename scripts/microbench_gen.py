@@ -13,11 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
+from mcquic_tpu.cli import _enableCompileCache
+
+_enableCompileCache()
 
 ITERS = 20
 BATCH, HW = 8, 256
@@ -50,7 +48,9 @@ def main():
         def body(i, carry):
             st, _ = carry
             return stepFn(st, images, labels)
-        return jax.lax.fori_loop(0, ITERS, body, stepFn(state, images, labels))
+        # init carry is the 1st step; ITERS-1 body iterations = ITERS total
+        return jax.lax.fori_loop(0, ITERS - 1, body,
+                                 stepFn(state, images, labels))
 
     def sync(out):
         jax.block_until_ready(out)
@@ -68,9 +68,6 @@ def main():
         best = min(best, time.perf_counter() - t0)
     nParams = sum(int(np.prod(l.shape)) for l in
                   jax.tree_util.tree_leaves(variables["params"]))
-    finalLoss = float(jax.tree_util.tree_leaves(out[1])[0].astype(jnp.float32)[()]
-                      if hasattr(jax.tree_util.tree_leaves(out[1])[0], 'astype')
-                      else out[1]["loss"])
     print(json.dumps({
         "metric": "stage-2 gen train step (hidden 512 x depth 8, 8x256^2, 596-token pyramid)",
         "msPerStep": round(best / ITERS * 1e3, 1),
