@@ -105,9 +105,30 @@ def loadReference():
                                  default_loader=None)
     _module("fairscale")
     _module("fairscale.nn")
-    _module("fairscale.nn.checkpoint")
+    _module("fairscale.nn.checkpoint",
+            checkpoint_wrapper=lambda module: module)
     _module("fairscale.nn.checkpoint.checkpoint_activations",
             checkpoint_wrapper=lambda module: module)
+
+    # apex FusedRMSNorm -> standard RMSNorm math (the universal formula)
+    import torch as _torch
+    from torch import nn as _nn
+
+    class _RMSNorm(_nn.Module):
+        def __init__(self, normalized_shape, eps=1e-6, elementwise_affine=True):
+            super().__init__()
+            if isinstance(normalized_shape, int):
+                normalized_shape = (normalized_shape,)
+            self.eps = eps
+            self.weight = (_nn.Parameter(_torch.ones(*normalized_shape))
+                           if elementwise_affine else None)
+
+        def forward(self, x):
+            norm = x * _torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + self.eps)
+            return norm * self.weight if self.weight is not None else norm
+
+    _module("apex")
+    _module("apex.normalization", FusedRMSNorm=_RMSNorm)
 
     # ---- our binding takes the extension's place ---------------------------
     from mcquic_tpu.coding import rans as ourRans
