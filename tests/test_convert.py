@@ -134,3 +134,44 @@ def test_convert_neon_synthetic():
     convFlat = _flatPaths(converted)
     for path, val in flat.items():
         np.testing.assert_allclose(convFlat[path], val, atol=1e-6, err_msg=str(path))
+
+
+def test_convert_cli_end_to_end(tmp_path, monkeypatch):
+    """python -m mcquic_tpu.utils.convert: reference trainer-style torch ckpt
+    -> exported model -> loadable engine (the migration path for
+    reference-trained weights)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from ref_scaffold import loadReference
+    loadReference()
+    from mcquic.modules.compressor import Compressor as RefCompressor
+
+    channel, m, k = 8, 2, [16, 8]
+    torch.manual_seed(0)
+    ref = RefCompressor(channel, m, k, 0.0)
+    sd = {f"module._compressor.{key}": val for key, val in ref.state_dict().items()}
+    ckpt = tmp_path / "trainer.ckpt"
+    torch.save({"trainer": {"_model": sd}}, str(ckpt))
+
+    out = tmp_path / "converted.npz"
+    res = subprocess.run(
+        [sys.executable, "-m", "mcquic_tpu.utils.convert", str(ckpt), str(out),
+         "--channel", str(channel), "--m", str(m), "--k", "16,8", "--qp", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(Path(__file__).resolve().parent.parent),
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    exported = res.stdout.strip().splitlines()[-1]
+    assert exported.endswith(".mcquic.npz")
+
+    from mcquic_tpu.demo import loadModel
+    engine = loadModel(local=exported)
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    file = engine.compressImage(img)
+    assert file.FileHeader.QuantizationParameter == "2"
+    restored = engine.decompressImage(file)
+    assert restored.shape == img.shape
