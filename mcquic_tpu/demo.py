@@ -104,6 +104,8 @@ def _buildModule(config: Config):
         params["k"] = tuple(params["k"])
     if "size" in params:
         params["size"] = tuple(params["size"])
+        if key != "Neon":
+            key = "Neon"  # reference stage-1 semantics (ddp.py:79-83)
     return ModelRegistry.get(key)(**params)
 
 

@@ -45,7 +45,16 @@ class Trainer:
         train = config.Train
 
         if module is None:
-            module = ModelRegistry.get(config.Model.Key)(**_adaptModelParams(config.Model.Params))
+            params = _adaptModelParams(config.Model.Params)
+            key = config.Model.Key
+            if "size" in params and key != "Neon":
+                # The reference ignores the stage-1 model key and always
+                # builds Neon (ddp.py:79-83; its shipped configs say
+                # "Compressor" with Neon geometry). Honor the params.
+                logger.info("model params carry a `size` pyramid: building "
+                            "Neon (reference stage-1 semantics)")
+                key = "Neon"
+            module = ModelRegistry.get(key)(**params)
         self._module = module
 
         worldSize = int(np.prod(list(self._mesh.shape.values())))
