@@ -88,8 +88,17 @@ class GenTrainer:
 
         if module is None:
             key = config.Model.Key
-            module = GeneratorRegistry.get(key)(
-                **{k: (tuple(v) if isinstance(v, list) else v) for k, v in params.items()})
+            cls = GeneratorRegistry.get(key)
+            import dataclasses
+            known = {f.name for f in dataclasses.fields(cls)}
+            dropped = sorted(set(params) - known)
+            if dropped:
+                # reference generator ctors swallow unknown params via
+                # catch-alls (e.g. GeneratorVAR takes no qk_norm); we log
+                logger.info("ignoring config params not taken by %s: %s",
+                            key, dropped)
+            module = cls(**{k: (tuple(v) if isinstance(v, list) else v)
+                            for k, v in params.items() if k in known})
         self._module = module
 
         worldSize = int(np.prod(list(self._mesh.shape.values())))

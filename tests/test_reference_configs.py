@@ -28,9 +28,17 @@ def test_reference_yaml_loads_and_model_resolves(path):
     key = cfg.Model.Key
     assert cfg.Train.TotalStep > 0 or cfg.Train.Epoch > 0
     if key in GeneratorRegistry:
-        # stage-2 config: generator key resolvable (construction needs a
-        # stage-1 ckpt via loadFrom at runtime)
-        assert GeneratorRegistry.get(key) is not None
+        # stage-2 config: the generator must construct from the declared
+        # params, dropping what the class doesn't take — the reference ctors
+        # swallow extras via catch-alls (loadFrom resolves at train time)
+        import dataclasses
+        cls = GeneratorRegistry.get(key)
+        known = {f.name for f in dataclasses.fields(cls)}
+        params = {kk: (tuple(vv) if isinstance(vv, (list, tuple)) else vv)
+                  for kk, vv in cfg.Model.Params.items()
+                  if kk in known and kk != "loadFrom"}
+        module = cls(**params)
+        assert module is not None
         return
     params = _adaptModelParams(cfg.Model.Params)
     if "size" in params:
