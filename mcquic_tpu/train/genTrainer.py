@@ -71,11 +71,44 @@ def makeGenTrainStep(module, tx, clipNorm: float = 2.0):
     return stepFn
 
 
-def loadCompressorParams(ckptPath) -> dict:
+def loadCompressorParams(ckptPath, modelParams: dict = None):
     """Stage-1 checkpoint params -> generator `compressor` subtree
-    (reference prefix-strip load, generator_3_self_attn.py:148-158)."""
-    tree, _ = loadTree(Path(ckptPath))
-    return tree["params"], tree.get("coder", {})
+    (reference prefix-strip load, generator_3_self_attn.py:148-158).
+
+    Accepts our npz exports AND reference torch trainer checkpoints: a torch
+    pickle is detected, prefix-stripped (`module._compressor.`) and converted
+    through utils/convert.convertNeon using the generator's declared
+    channel/k/size — so `loadFrom: <reference stage-1 ckpt>` works verbatim
+    for migrating users."""
+    path = Path(ckptPath)
+    try:
+        tree, _ = loadTree(path)
+        return tree["params"], tree.get("coder", {})
+    except Exception:
+        pass
+    import numpy as np
+    import torch
+
+    from mcquic_tpu.utils.convert import convertNeon, stripTrainerPrefix
+
+    raw = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "trainer" in raw:
+        sd = stripTrainerPrefix(raw["trainer"]["_model"])
+    elif isinstance(raw, dict) and "model" in raw:
+        sd = raw["model"]
+    else:
+        sd = raw
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    if not modelParams or not {"channel", "k", "size"} <= set(modelParams):
+        raise ValueError(
+            "loadFrom points at a torch checkpoint; converting it needs the "
+            "generator config's channel/k/size to rebuild the Neon geometry")
+    variables = convertNeon(sd, int(modelParams["channel"]),
+                            int(modelParams["k"]), list(modelParams["size"]),
+                            bool(modelParams.get("denseNorm", False)))
+    logger.info("converted reference torch stage-1 checkpoint %s", path)
+    return variables["params"], variables.get("coder", {})
 
 
 class GenTrainer:
@@ -117,7 +150,7 @@ class GenTrainer:
         variables = dict(variables)
 
         if loadFrom:
-            cParams, cCoder = loadCompressorParams(loadFrom)
+            cParams, cCoder = loadCompressorParams(loadFrom, params)
             newParams = dict(variables["params"])
             newParams["compressor"] = cParams
             variables["params"] = newParams

@@ -79,3 +79,41 @@ def test_gen_trainer_loads_frozen_compressor_from_stage1(tmp_path):
     # freqEMA came along too
     coder = jax.device_get(trainer.state.coder)
     assert "compressor" in coder
+
+
+def test_stage2_loads_reference_torch_stage1_ckpt(tmp_path):
+    """`loadFrom: <reference trainer ckpt>` converts through convertNeon and
+    lands in the frozen compressor subtree (migration path)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from ref_scaffold import loadReference
+    loadReference()
+    from mcquic.modules.compressor import Neon as RefNeon
+
+    from mcquic_tpu.train.genTrainer import loadCompressorParams
+
+    channel, k, size = 8, 16, [4, 2, 2]
+    torch.manual_seed(1)
+    refNeon = RefNeon(channel, k, size, False)
+    sd = {f"module._compressor.{key}": val
+          for key, val in refNeon.state_dict().items()}
+    ckpt = tmp_path / "ref_stage1.ckpt"
+    torch.save({"trainer": {"_model": sd}}, str(ckpt))
+
+    params, coder = loadCompressorParams(
+        str(ckpt), {"channel": channel, "k": k, "size": size})
+    assert "_quantizer" in params and "codebook" in params["_quantizer"]
+    # converted codebook matches the reference tensor exactly
+    refCb = refNeon._quantizer._quantizers[0]._codebook.detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["_quantizer"]["codebook"]), refCb, atol=0)
+    assert "freqEMA" in coder["_quantizer"]
+
+    # missing geometry -> clear error
+    with pytest.raises(ValueError, match="channel/k/size"):
+        loadCompressorParams(str(ckpt), {})
