@@ -279,17 +279,24 @@ def expectedTorchKeys(channel: int, m: int, k: List[int]) -> List[str]:
 def main():
     """CLI: convert a reference torch checkpoint into an exported model.
 
-    usage: python -m mcquic_tpu.utils.convert ref.ckpt out.npz \
-               --channel 128 --m 2 --k 8192,2048,512 --qp 2
+    v1 geometry:   python -m mcquic_tpu.utils.convert ref.ckpt out.npz \
+                       --channel 128 --m 2 --k 8192,2048,512 --qp 2
+    Neon geometry: ... --channel 256 --k 4096 --size 16,8,8,... (single k)
+    Or read geometry from a training yaml: ... --config cfg.yaml
     """
     import argparse
 
     parser = argparse.ArgumentParser(description=main.__doc__)
     parser.add_argument("ckpt")
     parser.add_argument("out")
-    parser.add_argument("--channel", type=int, required=True)
-    parser.add_argument("--m", type=int, required=True)
-    parser.add_argument("--k", type=str, required=True, help="comma-separated")
+    parser.add_argument("--config", type=str, default=None,
+                        help="training yaml to read model geometry from")
+    parser.add_argument("--channel", type=int, default=None)
+    parser.add_argument("--m", type=int, default=None)
+    parser.add_argument("--k", type=str, default=None, help="comma-separated")
+    parser.add_argument("--size", type=str, default=None,
+                        help="comma-separated Neon scale pyramid")
+    parser.add_argument("--denseNorm", action="store_true")
     parser.add_argument("--qp", type=str, default="-1")
     args = parser.parse_args()
 
@@ -298,8 +305,24 @@ def main():
     from mcquic_tpu.config import Config
     from mcquic_tpu.train.saver import exportModel
 
-    k = [int(x) for x in args.k.split(",")]
-    raw = torch.load(args.ckpt, map_location="cpu")
+    if args.config:
+        cfgIn = Config.load(args.config)
+        params = dict(cfgIn.Model.Params)
+        channel = int(params["channel"])
+        kParam = params["k"]
+        size = list(params.get("size") or []) or None
+        m = int(params.get("m", 1))
+        denseNorm = bool(params.get("denseNorm", False))
+    else:
+        channel = args.channel
+        kParam = [int(x) for x in args.k.split(",")] if args.k else None
+        size = [int(x) for x in args.size.split(",")] if args.size else None
+        m = args.m
+        denseNorm = args.denseNorm
+    if channel is None or kParam is None:
+        parser.error("provide --config or --channel/--k")
+
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     # accept: raw state dict | trainer ckpt | exported {model, config}
     if isinstance(raw, dict) and "trainer" in raw:
         sd = stripTrainerPrefix(raw["trainer"]["_model"])
@@ -309,9 +332,20 @@ def main():
         sd = raw
     sd = {kk: vv.numpy() if hasattr(vv, "numpy") else np.asarray(vv)
           for kk, vv in sd.items()}
-    variables = convertCompressor(sd, args.channel, args.m, k)
-    cfg = Config.deserialize({"model": {"key": "Compressor", "params": {
-        "channel": args.channel, "m": args.m, "k": k}}})
+    if size:  # Neon geometry (reference stage-1 semantics)
+        k = int(kParam[0]) if isinstance(kParam, list) else int(kParam)
+        variables = convertNeon(sd, channel, k, size, denseNorm)
+        modelCfg = {"key": "Neon", "params": {
+            "channel": channel, "k": int(k), "size": size,
+            "denseNorm": denseNorm}}
+    else:
+        if m is None:
+            parser.error("--m is required for v1 geometry")
+        k = [int(x) for x in kParam] if isinstance(kParam, list) else [int(kParam)]
+        variables = convertCompressor(sd, channel, m, k)
+        modelCfg = {"key": "Compressor", "params": {
+            "channel": channel, "m": m, "k": k}}
+    cfg = Config.deserialize({"model": modelCfg})
     final = exportModel(args.out, variables, cfg.serialize(), qp=args.qp)
     print(final)
 

@@ -175,3 +175,48 @@ def test_convert_cli_end_to_end(tmp_path, monkeypatch):
     assert file.FileHeader.QuantizationParameter == "2"
     restored = engine.decompressImage(file)
     assert restored.shape == img.shape
+
+
+def test_convert_cli_neon_with_config_yaml(tmp_path):
+    """--config yaml drives a Neon conversion (reference stage-1 geometry)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import yaml
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from ref_scaffold import loadReference
+    loadReference()
+    from mcquic.modules.compressor import Neon as RefNeon
+
+    channel, k, size = 8, 16, [4, 2, 2]
+    torch.manual_seed(2)
+    ref = RefNeon(channel, k, size, False)
+    sd = {f"module._compressor.{key}": val for key, val in ref.state_dict().items()}
+    ckpt = tmp_path / "trainer.ckpt"
+    torch.save({"trainer": {"_model": sd}}, str(ckpt))
+    cfgPath = tmp_path / "cfg.yaml"
+    cfgPath.write_text(yaml.dump({
+        "model": {"key": "Compressor",
+                  "params": {"channel": channel, "k": k, "size": size}},
+    }))
+
+    out = tmp_path / "neon.npz"
+    res = subprocess.run(
+        [sys.executable, "-m", "mcquic_tpu.utils.convert", str(ckpt), str(out),
+         "--config", str(cfgPath), "--qp", "3"],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(Path(__file__).resolve().parent.parent),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    exported = res.stdout.strip().splitlines()[-1]
+
+    from mcquic_tpu.demo import loadModel
+    engine = loadModel(local=exported)
+    img = np.random.default_rng(1).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    file = engine.compressImage(img)
+    restored = engine.decompressImage(file)
+    assert restored.shape == img.shape
