@@ -97,15 +97,8 @@ def fetchZooModel(qp: int, mse: bool = False) -> Path:
 
 
 def _buildModule(config: Config):
-    from mcquic_tpu.train.trainer import _adaptModelParams
-    key = config.Model.Key
-    params = _adaptModelParams(config.Model.Params)
-    if "k" in params and isinstance(params.get("k"), list):
-        params["k"] = tuple(params["k"])
-    if "size" in params:
-        params["size"] = tuple(params["size"])
-        if key != "Neon":
-            key = "Neon"  # reference stage-1 semantics (ddp.py:79-83)
+    from mcquic_tpu.train.trainer import resolveStage1Model
+    key, params = resolveStage1Model(config)
     return ModelRegistry.get(key)(**params)
 
 

@@ -22,10 +22,10 @@ def loadGenerator(path: Path):
     if meta is None or "config" not in meta:
         raise RuntimeError(f"{path} lacks config metadata")
     config = Config.deserialize(meta["config"])
+    from mcquic_tpu.train.genTrainer import constructGenerator
     params = dict(config.Model.Params)
     params.pop("loadFrom", None)
-    params = {k: (tuple(v) if isinstance(v, list) else v) for k, v in params.items()}
-    module = GeneratorRegistry.get(config.Model.Key)(**params)
+    module = constructGenerator(config.Model.Key, params)
     variables = {"params": tree["params"], "coder": tree.get("coder", {})}
     return module, variables
 

@@ -71,6 +71,22 @@ def makeGenTrainStep(module, tx, clipNorm: float = 2.0):
     return stepFn
 
 
+def constructGenerator(key: str, params: dict):
+    """Build a registered generator, dropping config params its dataclass
+    doesn't take — the reference ctors swallow extras via catch-alls (e.g.
+    GeneratorVAR takes no qk_norm). Shared by the trainer and the generate
+    CLI so a checkpoint that trains also samples."""
+    import dataclasses
+
+    cls = GeneratorRegistry.get(key)
+    known = {f.name for f in dataclasses.fields(cls)}
+    dropped = sorted((set(params) - known) - {"loadFrom"})
+    if dropped:
+        logger.info("ignoring config params not taken by %s: %s", key, dropped)
+    return cls(**{k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in params.items() if k in known})
+
+
 def loadCompressorParams(ckptPath, modelParams: dict = None):
     """Stage-1 checkpoint params -> generator `compressor` subtree
     (reference prefix-strip load, generator_3_self_attn.py:148-158).
@@ -84,22 +100,16 @@ def loadCompressorParams(ckptPath, modelParams: dict = None):
     try:
         tree, _ = loadTree(path)
         return tree["params"], tree.get("coder", {})
-    except Exception:
-        pass
-    import numpy as np
-    import torch
+    except Exception as npzErr:
+        from mcquic_tpu.utils.convert import convertNeon, loadTorchStateDict
 
-    from mcquic_tpu.utils.convert import convertNeon, stripTrainerPrefix
-
-    raw = torch.load(str(path), map_location="cpu", weights_only=False)
-    if isinstance(raw, dict) and "trainer" in raw:
-        sd = stripTrainerPrefix(raw["trainer"]["_model"])
-    elif isinstance(raw, dict) and "model" in raw:
-        sd = raw["model"]
-    else:
-        sd = raw
-    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-          for k, v in sd.items()}
+        try:
+            sd = loadTorchStateDict(path)
+        except Exception as torchErr:
+            raise ValueError(
+                f"loadFrom {path} is neither a readable npz export "
+                f"({npzErr!r}) nor a torch checkpoint ({torchErr!r})"
+            ) from npzErr
     if not modelParams or not {"channel", "k", "size"} <= set(modelParams):
         raise ValueError(
             "loadFrom points at a torch checkpoint; converting it needs the "
@@ -120,18 +130,7 @@ class GenTrainer:
         loadFrom = params.pop("loadFrom", None)
 
         if module is None:
-            key = config.Model.Key
-            cls = GeneratorRegistry.get(key)
-            import dataclasses
-            known = {f.name for f in dataclasses.fields(cls)}
-            dropped = sorted(set(params) - known)
-            if dropped:
-                # reference generator ctors swallow unknown params via
-                # catch-alls (e.g. GeneratorVAR takes no qk_norm); we log
-                logger.info("ignoring config params not taken by %s: %s",
-                            key, dropped)
-            module = cls(**{k: (tuple(v) if isinstance(v, list) else v)
-                            for k, v in params.items() if k in known})
+            module = constructGenerator(config.Model.Key, params)
         self._module = module
 
         worldSize = int(np.prod(list(self._mesh.shape.values())))

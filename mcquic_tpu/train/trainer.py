@@ -45,15 +45,7 @@ class Trainer:
         train = config.Train
 
         if module is None:
-            params = _adaptModelParams(config.Model.Params)
-            key = config.Model.Key
-            if "size" in params and key != "Neon":
-                # The reference ignores the stage-1 model key and always
-                # builds Neon (ddp.py:79-83; its shipped configs say
-                # "Compressor" with Neon geometry). Honor the params.
-                logger.info("model params carry a `size` pyramid: building "
-                            "Neon (reference stage-1 semantics)")
-                key = "Neon"
+            key, params = resolveStage1Model(config)
             module = ModelRegistry.get(key)(**params)
         self._module = module
 
@@ -349,6 +341,34 @@ def _adaptModelParams(params: dict) -> dict:
                 if k in ("channel", "k", "size", "denseNorm")}
     return {k: v for k, v in params.items()
             if k in ("channel", "m", "k", "permutationRate")}
+
+
+def resolveStage1Model(config) -> tuple:
+    """(registry key, ctor params) for a stage-1 config, mirroring reference
+    semantics: the model key is ignored when the params carry a `size`
+    pyramid (the reference always builds Neon, ddp.py:79-83), and legacy
+    configs' uniform list-valued `m` (e.g. neon.yaml `m: [1,1,1,1,1]`)
+    normalizes to the constant int the v1 ctor takes."""
+    params = _adaptModelParams(config.Model.Params)
+    key = config.Model.Key
+    if "size" in params:
+        if key != "Neon":
+            logger.info("model params carry a `size` pyramid: building Neon "
+                        "(reference stage-1 semantics)")
+            key = "Neon"
+        params["size"] = tuple(params["size"])
+        if isinstance(params.get("k"), (list, tuple)):
+            params["k"] = int(params["k"][0])
+    else:
+        m = params.get("m")
+        if isinstance(m, (list, tuple)):
+            if len(set(m)) != 1:
+                raise ValueError(f"per-level m {m} is not supported by the "
+                                 "v1 Compressor (must be uniform)")
+            params["m"] = int(m[0])
+        if isinstance(params.get("k"), list):
+            params["k"] = tuple(params["k"])
+    return key, params
 
 
 def _freqLeaves(coder: dict):

@@ -264,6 +264,23 @@ def convertCompressor(stateDict: Dict[str, np.ndarray], channel: int, m: int,
     return out
 
 
+def loadTorchStateDict(path) -> Dict[str, np.ndarray]:
+    """torch checkpoint file -> flat numpy state dict. Accepts raw state
+    dicts, reference trainer checkpoints ({'trainer': {'_model': ...}} with
+    the `module._compressor.` prefix) and exported {'model': ...} files."""
+    import torch
+
+    raw = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "trainer" in raw:
+        sd = stripTrainerPrefix(raw["trainer"]["_model"])
+    elif isinstance(raw, dict) and "model" in raw:
+        sd = raw["model"]
+    else:
+        sd = raw
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
 def stripTrainerPrefix(stateDict: Dict[str, np.ndarray],
                        prefix: str = "module._compressor.") -> Dict[str, np.ndarray]:
     """Reference trainer checkpoints prefix model params with
@@ -300,18 +317,22 @@ def main():
     parser.add_argument("--qp", type=str, default="-1")
     args = parser.parse_args()
 
-    import torch
-
     from mcquic_tpu.config import Config
     from mcquic_tpu.train.saver import exportModel
 
     if args.config:
         cfgIn = Config.load(args.config)
         params = dict(cfgIn.Model.Params)
-        channel = int(params["channel"])
-        kParam = params["k"]
+        channel = params.get("channel")
+        kParam = params.get("k")
         size = list(params.get("size") or []) or None
-        m = int(params.get("m", 1))
+        m = params.get("m", 1)
+        # legacy configs carry uniform list m (e.g. neon.yaml m: [1]*5)
+        if isinstance(m, (list, tuple)):
+            if len(set(m)) != 1:
+                parser.error(f"per-level m {m} is not supported (must be uniform)")
+            m = m[0]
+        m = int(m)
         denseNorm = bool(params.get("denseNorm", False))
     else:
         channel = args.channel
@@ -319,19 +340,14 @@ def main():
         size = [int(x) for x in args.size.split(",")] if args.size else None
         m = args.m
         denseNorm = args.denseNorm
+    # validate geometry args BEFORE the (potentially multi-GB) checkpoint load
     if channel is None or kParam is None:
         parser.error("provide --config or --channel/--k")
+    channel = int(channel)
+    if not size and m is None:
+        parser.error("--m is required for v1 geometry")
 
-    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
-    # accept: raw state dict | trainer ckpt | exported {model, config}
-    if isinstance(raw, dict) and "trainer" in raw:
-        sd = stripTrainerPrefix(raw["trainer"]["_model"])
-    elif isinstance(raw, dict) and "model" in raw:
-        sd = raw["model"]
-    else:
-        sd = raw
-    sd = {kk: vv.numpy() if hasattr(vv, "numpy") else np.asarray(vv)
-          for kk, vv in sd.items()}
+    sd = loadTorchStateDict(args.ckpt)
     if size:  # Neon geometry (reference stage-1 semantics)
         k = int(kParam[0]) if isinstance(kParam, list) else int(kParam)
         variables = convertNeon(sd, channel, k, size, denseNorm)
@@ -339,12 +355,10 @@ def main():
             "channel": channel, "k": int(k), "size": size,
             "denseNorm": denseNorm}}
     else:
-        if m is None:
-            parser.error("--m is required for v1 geometry")
         k = [int(x) for x in kParam] if isinstance(kParam, list) else [int(kParam)]
-        variables = convertCompressor(sd, channel, m, k)
+        variables = convertCompressor(sd, channel, int(m), k)
         modelCfg = {"key": "Compressor", "params": {
-            "channel": channel, "m": m, "k": k}}
+            "channel": channel, "m": int(m), "k": k}}
     cfg = Config.deserialize({"model": modelCfg})
     final = exportModel(args.out, variables, cfg.serialize(), qp=args.qp)
     print(final)

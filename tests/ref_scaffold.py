@@ -110,25 +110,31 @@ def loadReference():
     _module("fairscale.nn.checkpoint.checkpoint_activations",
             checkpoint_wrapper=lambda module: module)
 
-    # apex FusedRMSNorm -> standard RMSNorm math (the universal formula)
-    import torch as _torch
-    from torch import nn as _nn
+    # apex FusedRMSNorm -> standard RMSNorm math (the universal formula);
+    # only stubbed when apex is genuinely absent, with apex's eps default
+    try:
+        import apex.normalization  # noqa: F401
+    except ImportError:
+        import torch as _torch
+        from torch import nn as _nn
 
-    class _RMSNorm(_nn.Module):
-        def __init__(self, normalized_shape, eps=1e-6, elementwise_affine=True):
-            super().__init__()
-            if isinstance(normalized_shape, int):
-                normalized_shape = (normalized_shape,)
-            self.eps = eps
-            self.weight = (_nn.Parameter(_torch.ones(*normalized_shape))
-                           if elementwise_affine else None)
+        class _RMSNorm(_nn.Module):
+            def __init__(self, normalized_shape, eps=1e-5,
+                         elementwise_affine=True):
+                super().__init__()
+                if isinstance(normalized_shape, int):
+                    normalized_shape = (normalized_shape,)
+                self.eps = eps
+                self.weight = (_nn.Parameter(_torch.ones(*normalized_shape))
+                               if elementwise_affine else None)
 
-        def forward(self, x):
-            norm = x * _torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + self.eps)
-            return norm * self.weight if self.weight is not None else norm
+            def forward(self, x):
+                norm = x * _torch.rsqrt(
+                    x.pow(2).mean(-1, keepdim=True) + self.eps)
+                return norm * self.weight if self.weight is not None else norm
 
-    _module("apex")
-    _module("apex.normalization", FusedRMSNorm=_RMSNorm)
+        _module("apex")
+        _module("apex.normalization", FusedRMSNorm=_RMSNorm)
 
     # ---- our binding takes the extension's place ---------------------------
     from mcquic_tpu.coding import rans as ourRans

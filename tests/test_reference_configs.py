@@ -11,7 +11,7 @@ import mcquic_tpu.models  # noqa: F401  (populate registries)
 import mcquic_tpu.models.generator  # noqa: F401
 import mcquic_tpu.models.generator_var  # noqa: F401
 from mcquic_tpu.config import Config
-from mcquic_tpu.train.trainer import _adaptModelParams
+from mcquic_tpu.train.trainer import resolveStage1Model
 from mcquic_tpu.utils.registry import GeneratorRegistry, ModelRegistry
 
 REF_CONFIGS = sorted(p for p in glob.glob(
@@ -40,13 +40,15 @@ def test_reference_yaml_loads_and_model_resolves(path):
         module = cls(**params)
         assert module is not None
         return
-    params = _adaptModelParams(cfg.Model.Params)
-    if "size" in params:
-        key = "Neon"  # reference stage-1 semantics
-    module = ModelRegistry.get(key)(**{
-        kk: (tuple(vv) if isinstance(vv, list) else vv)
-        for kk, vv in params.items()})
-    assert module is not None
+    key, params = resolveStage1Model(cfg)
+    module = ModelRegistry.get(key)(**params)
+    # flax construction is lazy, so assert field types actually normalized
+    # (legacy configs carry list-valued m/k that would blow up at init time)
+    if key == "Compressor":
+        assert isinstance(module.m, int), module.m
+    else:
+        assert isinstance(module.k, int), module.k
+        assert all(isinstance(s, int) for s in module.size)
 
 
 def test_stage1_neon_geometry_under_compressor_key(tmp_path):
