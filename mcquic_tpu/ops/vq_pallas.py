@@ -127,6 +127,83 @@ def vqEncodeGrouped(x: jax.Array, codebook: jax.Array, blockT: int = 128,
     return out[:, :T]
 
 
+def _residentKernel(x_ref, c_ref, c2_ref, out_ref, *, m: int, nK: int,
+                    blockK: int):
+    """One grid step = one token tile vs the ENTIRE codebook (VMEM-resident).
+
+    The codebook rides in as a [m, nK, blockK, d] block (every dim <= the
+    Mosaic 128 tile cap) and stays in VMEM across the k loop, so each token
+    tile streams the codebook zero times from HBM — the round-2 kernel's
+    (T tiles x K tiles) grid re-fetched it per token tile and measured ~100x
+    slower than the XLA chunked scan (NOTES.md). The k loop lives INSIDE the
+    kernel: m * nK unrolled 2D dots, running (min, argmin) kept in registers."""
+    for mi in range(m):
+        xm = x_ref[mi]                                 # [BT, d]
+        best = None
+        for ki in range(nK):
+            cm = c_ref[mi, ki]                         # [BK, d]
+            c2 = c2_ref[mi, ki]                        # [BK]
+            scores = jax.lax.dot_general(
+                xm, cm, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [BT, BK]
+            dist = c2[None, :] - 2.0 * scores
+            localMin = jnp.min(dist, axis=-1)
+            localArg = jnp.argmin(dist, axis=-1).astype(jnp.int32) + ki * blockK
+            if best is None:
+                best, barg = localMin, localArg
+            else:
+                better = localMin < best
+                best = jnp.where(better, localMin, best)
+                barg = jnp.where(better, localArg, barg)
+        out_ref[mi] = barg
+
+
+@functools.partial(jax.jit, static_argnames=("blockT", "interpret"))
+def vqEncodeResident(x: jax.Array, codebook: jax.Array, blockT: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """Fused VQ encode with the codebook resident in VMEM.
+
+    Args:
+        x: [m, T, d] tokens per group; codebook: [m, k, d].
+    Returns:
+        [m, T] int32 indices.
+
+    Fits when m * k * d * itemsize + tile overheads < ~16 MB VMEM — true for
+    every reference geometry (qp-2 level 0 is the largest: 2x8192x64 fp32 =
+    4 MB; bf16 halves it).
+    """
+    m, T, d = x.shape
+    _, k, _ = codebook.shape
+    blockK = 128
+    blockT = min(max(_roundUp(blockT, 8), 8), 128)
+
+    Tp = _roundUp(T, blockT)
+    Kp = _roundUp(k, blockK)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    if Kp != k:
+        codebook = jnp.pad(codebook, ((0, 0), (0, Kp - k), (0, 0)),
+                           constant_values=1e4)
+    nK = Kp // blockK
+    cTiled = codebook.reshape(m, nK, blockK, d)
+    c32 = cTiled.astype(jnp.float32)
+    c2 = jnp.sum(c32 * c32, axis=-1)                   # [m, nK, blockK] fp32
+
+    out = pl.pallas_call(
+        functools.partial(_residentKernel, m=m, nK=nK, blockK=blockK),
+        grid=(Tp // blockT,),
+        in_specs=[
+            pl.BlockSpec((m, blockT, d), lambda it: (0, it, 0)),
+            pl.BlockSpec((m, nK, blockK, d), lambda it: (0, 0, 0, 0)),
+            pl.BlockSpec((m, nK, blockK), lambda it: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m, blockT), lambda it: (0, it)),
+        out_shape=jax.ShapeDtypeStruct((m, Tp), jnp.int32),
+        interpret=interpret,
+    )(x, cTiled, c2)
+    return out[:, :T]
+
+
 def vqEncodeFused(x: jax.Array, codebook: jax.Array, interpret: bool = False) -> jax.Array:
     """Drop-in for ops.vq.vqEncode: [n,h,w,m,d] x [m,k,d] -> [n,h,w,m] int32."""
     n, h, w, m, d = x.shape

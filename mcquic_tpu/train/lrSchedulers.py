@@ -97,3 +97,44 @@ def cosineAnnealingWarmupRestarts(baseLr: float, first_cycle_steps: int,
 
 def getSchedule(key: str, baseLr: float, params: dict):
     return LrSchedulerRegistry.get(key)(baseLr, **params)
+
+
+def scheduleFlatlineFraction(schedule, baseLr: float, startStep: int,
+                             totalStep: int, samples: int = 256) -> float:
+    """Fraction of the remaining [startStep, totalStep) budget whose lr is
+    below 1% of baseLr.
+
+    Guard for the observed-on-hardware trap (NOTES.md round-2): a cosine
+    cycle sized smaller than the step budget (e.g. first_cycle_steps=600,
+    TotalStep=2000, or a resume with a raised TotalStep) silently trains at
+    lr~0 for most of the run. The reference accepts such configs silently
+    too; its strict-config culture (config.py raises on unknown keys) says
+    this deserves at least a loud warning.
+    """
+    import numpy as np
+    if totalStep <= startStep:
+        return 0.0
+    steps = np.linspace(startStep, totalStep - 1, min(samples, totalStep - startStep))
+    lrs = np.asarray([float(schedule(int(s))) for s in steps])
+    return float(np.mean(lrs < 0.01 * abs(baseLr)))
+
+
+def checkScheduleCoversBudget(schedule, baseLr: float, startStep: int,
+                              totalStep: int, threshold: float = 0.25,
+                              strict: bool = False) -> bool:
+    """Warn (or raise under strict) when the schedule flatlines at ~0 for
+    more than `threshold` of the remaining step budget. Returns True when
+    the schedule is healthy."""
+    import logging
+    frac = scheduleFlatlineFraction(schedule, baseLr, startStep, totalStep)
+    if frac <= threshold:
+        return True
+    msg = (f"LR schedule spends {frac:.0%} of the remaining budget "
+           f"(steps {startStep}..{totalStep}) below 1% of the base lr "
+           f"({baseLr:g}) — size the schedule (e.g. first_cycle_steps) to "
+           "the final TotalStep, especially after a resume with a raised "
+           "budget, or most of the run trains at lr~0.")
+    if strict:
+        raise ValueError(msg)
+    logging.getLogger("mcquic_tpu.train").warning(msg)
+    return False

@@ -227,6 +227,16 @@ class Trainer:
         except ValueError:  # non-main thread
             prevHandler = None
         step = int(self._state.step)
+        # Guard the schedule-vs-budget trap observed on hardware (cosine cycle
+        # shorter than TotalStep after a resume trains at lr~0; NOTES.md).
+        # Strict mode refuses; default warns. Runs AFTER resume so a raised
+        # TotalStep on relaunch is checked against the resumed step.
+        import os as _os
+        from mcquic_tpu.train.lrSchedulers import checkScheduleCoversBudget
+        checkScheduleCoversBudget(
+            self._schedule, self._config.Train.scaledOptim(
+                int(np.prod(list(self._mesh.shape.values())))).Params.get("lr", 1e-4),
+            step, total, strict=_os.environ.get("MCQUIC_STRICT_SCHEDULE") == "1")
         epoch = 0
         lastLog = time.time()
         self._runHooks("beforeRun", step)

@@ -20,19 +20,34 @@ from mcquic_tpu.validate.handlers import (BPPHandler, IdealBPPHandler,
                                           MsSSIMHandler, PSNRHandler)
 
 
+def _hsvToRgbVec(hue: np.ndarray, s: float = 0.8, v: float = 0.95) -> np.ndarray:
+    """Vectorized HSV->RGB at fixed saturation/value: [...] hue -> [..., 3]."""
+    h6 = (hue % 1.0) * 6.0
+    sector = np.floor(h6).astype(np.int64) % 6
+    f = h6 - np.floor(h6)
+    p = np.full_like(f, v * (1.0 - s))
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    vv = np.full_like(f, v)
+    # per-sector channel pick: rows are (r,g,b) for sectors 0..5
+    table = np.stack([np.stack([vv, t, p], -1), np.stack([q, vv, p], -1),
+                      np.stack([p, vv, t], -1), np.stack([p, q, vv], -1),
+                      np.stack([t, p, vv], -1), np.stack([vv, p, q], -1)])
+    return np.take_along_axis(table, sector[None, ..., None], axis=0)[0]
+
+
 def visualizeCodeMaps(codes) -> list:
     """Code-index maps -> uint8 RGB images (reference visualizeIntermediate,
     validator.py:30-38): indices are hashed into hues so neighboring codes
-    get distinct colors; one image per (level, group)."""
-    import colorsys
+    get distinct colors; one image per (level, group). Fully vectorized
+    (the per-pixel colorsys loop was O(pixels) Python)."""
     out = []
     for code in codes:  # [n, m, h, w]
         n, m, h, w = code.shape
         for g in range(m):
             idx = code[:, g].astype(np.int64)
             hue = (idx * 0.61803398875) % 1.0
-            rgb = np.stack([np.vectorize(lambda x, c=c: colorsys.hsv_to_rgb(x, 0.8, 0.95)[c])(hue)
-                            for c in range(3)], -1)
+            rgb = _hsvToRgbVec(hue)
             out.append((rgb * 255).astype(np.uint8))
     return out
 

@@ -24,6 +24,21 @@ def test_pallas_matches_jnp(m, T, d, k):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("m,T,d,k", [
+    (1, 64, 8, 128),
+    (2, 100, 16, 200),   # non-aligned T and k (padding paths)
+    (2, 300, 64, 1024),  # qp2-ish geometry, several k tiles
+])
+def test_resident_kernel_matches_jnp(m, T, d, k):
+    from mcquic_tpu.ops.vq_pallas import vqEncodeResident
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, T, d))
+    cb = jax.random.normal(jax.random.PRNGKey(1), (m, k, d))
+    got = vqEncodeResident(x, cb, interpret=True)
+    xr = x.transpose(1, 0, 2).reshape(1, T, 1, m, d)
+    want = vqEncode(xr, cb).reshape(T, m).transpose(1, 0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_wrapper_layout():
     n, h, w, m, d, k = 2, 4, 6, 2, 8, 64
     x = jax.random.normal(jax.random.PRNGKey(2), (n, h, w, m, d))
