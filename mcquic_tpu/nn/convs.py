@@ -106,7 +106,14 @@ class _UpConv(nn.Module):
         xc = x.astype(self.dtype)
         Wc = W.astype(self.dtype)
         bc = b.astype(self.dtype) if b is not None else None
-        if subpixelMode() == "deconv" and self.groups == 1:
+        # Hybrid dispatch (measured on v5e, scripts/decode_breakdown.py):
+        # the transposed-conv formulation wins for WIDE up-convs (128->512:
+        # no shuffle transposes), but LOSES for thin output heads — the
+        # final RGB stage (features=3) ran 6.13 ms/iter as a 3-lane
+        # full-res deconv vs 4.72 ms as conv(->12)+depth-to-space, because
+        # the MXU lane tax at 3 channels dwarfs the shuffle's small D2S.
+        if (subpixelMode() == "deconv" and self.groups == 1
+                and self.features >= 32):
             return subpixelConvTranspose(xc, Wc, bc, r)
         y = lax.conv_general_dilated(
             xc, Wc, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
