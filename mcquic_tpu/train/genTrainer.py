@@ -62,9 +62,16 @@ def makeGenTrainStep(module, tx, clipNorm: float = 2.0):
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, optState = tx.update(grads, state.optState, state.params)
         params = optax.apply_updates(state.params, updates)
-        newState = state.replace(step=state.step + 1, params=params,
-                                 optState=optState, rng=rng)
+        # Non-finite guard (same contract as stage-1 makeTrainStep): a
+        # poisoned batch skips the update, state can never go NaN.
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        newState = jax.lax.cond(
+            ok,
+            lambda: state.replace(step=state.step + 1, params=params,
+                                  optState=optState, rng=rng),
+            lambda: state.replace(step=state.step + 1, rng=rng))
         metrics = {"loss": loss, "gradNorm": gnorm,
+                   "skipped": 1.0 - ok.astype(jnp.float32),
                    **{f"ceLv{i:02d}": l for i, l in enumerate(perLevel)}}
         return newState, metrics
 
@@ -245,6 +252,7 @@ class GenTrainer:
         import math as _math
         import time as _time
         lastLog = _time.time()
+        badLogs = 0
         self._runHooks("beforeRun", step)
         while step < total:
             self._runHooks("epochStart", step)
@@ -256,7 +264,16 @@ class GenTrainer:
                 if step % 100 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not _math.isfinite(m["loss"]):
+                        if m.get("skipped", 0) >= 1 and badLogs < 2:
+                            badLogs += 1
+                            logger.warning(
+                                "step %d: non-finite loss — update skipped "
+                                "by the step guard (%d consecutive)",
+                                step, badLogs)
+                            lastLog = _time.time()
+                            continue
                         raise RuntimeError(f"Loss is NaN/Inf at step {step}: {m}")
+                    badLogs = 0
                     m["stepsPerSec"] = 100 / (_time.time() - lastLog)
                     lastLog = _time.time()
                     logger.info("step %d: %s", step, m)

@@ -70,10 +70,21 @@ def makeTrainStep(module, tx: optax.GradientTransformation,
         updates, optState = tx.update(grads, state.optState, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        newState = state.replace(step=state.step + 1, params=params,
-                                 coder=newCoder, optState=optState, rng=rng)
+        # Non-finite guard: a single poisoned batch (inf/NaN loss or grads)
+        # SKIPS the whole update — params/coder/optState stay untouched, so
+        # the state can never be poisoned; only rng/step advance. The
+        # reference crashes outright (trainer.py:434-437); here the trainer
+        # crashes only on PERSISTENT skips (preemption-safe production
+        # behavior on long unattended runs).
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        newState = jax.lax.cond(
+            ok,
+            lambda: state.replace(step=state.step + 1, params=params,
+                                  coder=newCoder, optState=optState, rng=rng),
+            lambda: state.replace(step=state.step + 1, rng=rng))
         metrics = {"loss": loss, "distortion": distortion, "mse": mse,
-                   "lpips": lpips, "gradNorm": gnorm}
+                   "lpips": lpips, "gradNorm": gnorm,
+                   "skipped": 1.0 - ok.astype(jnp.float32)}
         return newState, metrics
 
     return stepFn

@@ -238,6 +238,7 @@ class Trainer:
                 int(np.prod(list(self._mesh.shape.values())))).Params.get("lr", 1e-4),
             step, total, strict=_os.environ.get("MCQUIC_STRICT_SCHEDULE") == "1")
         epoch = 0
+        badLogs = 0  # consecutive %100 logs with a skipped (non-finite) step
         lastLog = time.time()
         self._runHooks("beforeRun", step)
         while step < total and (maxEpochs is None or epoch < maxEpochs):
@@ -249,7 +250,18 @@ class Trainer:
                 if step % 100 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     if not math.isfinite(m["loss"]):
+                        # the step guard skipped this update (state stays
+                        # clean) — crash only when the condition PERSISTS
+                        if m.get("skipped", 0) >= 1 and badLogs < 2:
+                            badLogs += 1
+                            logger.warning(
+                                "step %d: non-finite loss — update skipped "
+                                "by the step guard (%d consecutive)",
+                                step, badLogs)
+                            lastLog = time.time()
+                            continue
                         raise RuntimeError(f"Loss is NaN/Inf at step {step}: {m}")
+                    badLogs = 0
                     m["lr"] = float(self._schedule(step))
                     m["stepsPerSec"] = 100 / (time.time() - lastLog)
                     if step % 1000 == 0:
