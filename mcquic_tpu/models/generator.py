@@ -203,6 +203,10 @@ class AnyResTransformer(nn.Module):
     qkNorm: bool = True
     normEps: float = 1e-5
     useAda: bool = True
+    # Gradient rematerialization over each transformer block (training path
+    # only). At AnyRes_L scale (hidden 1536 x depth 24, generator_3.py:1483)
+    # the teacher-forced activations otherwise dominate single-chip HBM.
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -233,9 +237,13 @@ class AnyResTransformer(nn.Module):
         yFeat = capCondEmb[:, None]  # single-token condition sequence
 
         newCaches = [] if caches is not None else None
+        # KV-cached decode never uses remat (no backward pass; rematting it
+        # would only recompute the cache write).
+        Block = (nn.remat(AnyResBlock, prevent_cse=False)
+                 if self.remat and caches is None else AnyResBlock)
         for i in range(self.depth):
-            blk = AnyResBlock(self.nHeads, self.qkNorm, self.normEps, self.useAda,
-                              self.dtype, name=f"block{i}")
+            blk = Block(self.nHeads, self.qkNorm, self.normEps, self.useAda,
+                        self.dtype, name=f"block{i}")
             x, cache = blk(x, mask, capEmb, yFeat, posEmbed,
                            cache=None if caches is None else caches[i],
                            offset=offset)
@@ -289,6 +297,9 @@ class GeneratorV3SelfAttention(nn.Module):
     textConditioned: bool = False
     capDim: int = 512
     useAda: bool = True
+    # Remat each transformer block in the teacher-forced pass (see
+    # AnyResTransformer.remat); required to train AnyRes_L on one chip.
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -324,7 +335,7 @@ class GeneratorV3SelfAttention(nn.Module):
         self.transformer = AnyResTransformer(
             canvasSize=canvas, hiddenSize=hs, depth=self.depth, nHeads=self.nHeads,
             vocabSize=self.k, qkNorm=self.qk_norm, normEps=self.norm_eps,
-            useAda=self.useAda, dtype=self.dtype)
+            useAda=self.useAda, remat=self.remat, dtype=self.dtype)
         self.firstLevelPosEmbed = self.param(
             "firstLevelPosEmbed", _truncInit(std), (canvas * canvas, hs))
         self.levelEmbed = self.param("levelEmbed", _truncInit(std),

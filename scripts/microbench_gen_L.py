@@ -32,9 +32,12 @@ def main(preset: str = "AnyRes_L", batch: int = 4, iters: int = 8):
     from mcquic_tpu.utils.initialization import fastInit
 
     cfg = AnyResConfigs()[preset]
+    # L/XL: teacher-forced activations at depth>=24 x hidden>=1536 exceed
+    # single-chip HBM without per-block remat.
+    remat = preset in ("AnyRes_L", "AnyRes_XL")
     module = GeneratorV3SelfAttention(
         channel=256, k=4096, size=SIZE17, numClasses=1000,
-        dtype=jnp.bfloat16, **cfg)
+        dtype=jnp.bfloat16, remat=remat, **cfg)
     img = jnp.zeros((batch, 256, 256, 3), jnp.float32)  # gen loader crops 256^2 -> latent 32 -> size[0]=16
     lbl = jnp.zeros((batch,), jnp.int32)
     rng = jax.random.PRNGKey(0)

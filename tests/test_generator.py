@@ -44,6 +44,31 @@ def test_generator_training_forward(tinyGen):
     assert len(perLevel) == 3
 
 
+def test_remat_matches_plain_forward_and_grad(tinyGen):
+    """remat=True is a pure memory/time trade: identical params, loss, grads
+    (AnyResTransformer.remat; required for AnyRes_L single-chip training)."""
+    module, variables = tinyGen
+    rematModule = GeneratorV3SelfAttention(
+        channel=8, k=16, size=(2, 1, 1), denseNorm=False,
+        hiddenSize=32, depth=2, nHeads=4, numClasses=10, remat=True)
+    img = jax.random.uniform(jax.random.PRNGKey(5), (2, 32, 32, 3), minval=-1, maxval=1)
+    lbl = jnp.asarray([1, 2], jnp.int32)
+
+    def lossFn(mod, params):
+        _, loss, _, _, _ = mod.apply(
+            {"params": params, "coder": variables["coder"]}, img, lbl, train=True)
+        return loss
+
+    lossA, gradA = jax.value_and_grad(lambda p: lossFn(module, p))(variables["params"])
+    lossB, gradB = jax.value_and_grad(lambda p: lossFn(rematModule, p))(variables["params"])
+    assert jnp.allclose(lossA, lossB, rtol=1e-6)
+    flatA = jax.tree_util.tree_leaves(gradA)
+    flatB = jax.tree_util.tree_leaves(gradB)
+    assert len(flatA) == len(flatB)
+    for a, b in zip(flatA, flatB):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_generator_frozen_compressor_gets_no_grads(tinyGen):
     module, variables = tinyGen
