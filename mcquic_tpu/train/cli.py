@@ -87,7 +87,8 @@ def main(configPath, resume: bool = False, gen: bool = False):
                                 hostId=hostId, hostCount=hostCount)
         trainer.train(loaderFn)
     else:
-        loaderFn = getTrainLoader(train.TrainSet, localBatch, cropSize=512,
+        loaderFn = getTrainLoader(train.TrainSet, localBatch,
+                                  cropSize=trainer.inputSize,
                                   hostId=hostId, hostCount=hostCount)
         # Real-coder validation every ValFreq + best-ckpt saving
         # (reference trainer.py:355-362, 519-529).

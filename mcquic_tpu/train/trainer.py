@@ -39,7 +39,7 @@ SEED = 3407  # reference train/utils.py:332
 
 class Trainer:
     def __init__(self, config: Config, module=None, lpipsFn: Optional[Callable] = None,
-                 mesh=None, inputShape=(512, 512), ckptBackend: Optional[str] = None):
+                 mesh=None, inputShape=None, ckptBackend: Optional[str] = None):
         self._config = config
         self._mesh = mesh if mesh is not None else makeMesh()
         train = config.Train
@@ -48,6 +48,16 @@ class Trainer:
             key, params = resolveStage1Model(config)
             module = ModelRegistry.get(key)(**params)
         self._module = module
+        if inputShape is None:
+            # Neon-family tokenizers fix their input: 3 stride-2 stages to the
+            # latent (= size[0]*2), whose first pyramid level halves it — so
+            # input = size[0]*16 (e.g. the 17-level size[0]=16 config trains
+            # on 256^2 crops, reference configs/a800_8.yaml). v1 Compressor
+            # has no size list and keeps the reference 512^2 crop.
+            sizeList = getattr(module, "size", None)
+            edge = int(sizeList[0]) * 16 if sizeList else 512
+            inputShape = (edge, edge)
+        self._inputShape = tuple(inputShape)
 
         worldSize = int(np.prod(list(self._mesh.shape.values())))
         optimCfg = train.scaledOptim(worldSize)
@@ -70,7 +80,7 @@ class Trainer:
 
         # --- init state (replicated params; ZeRO-sharded optimizer state)
         rng = jax.random.PRNGKey(SEED)
-        h, w = inputShape
+        h, w = self._inputShape
         dummy = jnp.zeros((max(worldSize, 1), h, w, 3), jnp.float32)
         variables = module.init({"params": jax.random.PRNGKey(SEED),
                                  "gumbel": jax.random.PRNGKey(SEED + 1)},
@@ -123,6 +133,11 @@ class Trainer:
     @property
     def state(self) -> TrainState:
         return self._state
+
+    @property
+    def inputSize(self) -> int:
+        """Square crop edge the model trains on (loader cropSize must match)."""
+        return self._inputShape[0]
 
     @property
     def dataParallelSize(self) -> int:

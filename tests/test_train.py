@@ -124,3 +124,17 @@ def test_trainer_orbax_backend_save_resume(tmp_path):
     a = jax.tree_util.tree_leaves(tr.state.params)[0]
     b = jax.tree_util.tree_leaves(tr2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_input_shape_derived_from_model_geometry(tmp_path):
+    """Neon-family tokenizers train on size[0]*16 crops (reference
+    configs/a800_8.yaml: 17-level size[0]=16 -> 256^2); v1 keeps 512^2.
+    The CLI loader cropSize follows trainer.inputSize."""
+    from mcquic_tpu.models.compressor import Neon
+    cfg = _tinyConfig(tmp_path)
+    neon = Neon(channel=8, k=16, size=(2, 1, 1))
+    tr = Trainer(cfg, module=neon, lpipsFn=False)
+    assert tr.inputSize == 32
+    trV1 = Trainer(cfg, module=Compressor(channel=8, m=2, k=(16, 8)),
+                   lpipsFn=False, inputShape=(32, 32))
+    assert trV1.inputSize == 32
