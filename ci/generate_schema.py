@@ -44,6 +44,7 @@ SCHEMA = {
                                                           "wantsMore": {"type": "boolean"}}},
                 "hooks": {"type": "array", "items": {"type": "object"}},
                 "externalLib": {"type": "array", "items": {"type": "string"}},
+                "cropSize": {"type": "integer", "description": "square training crop edge; default derives from the model (Neon size[0]*16, v1 512)"},
             },
         },
     },

@@ -86,9 +86,16 @@ class Train:
     gpu: GPU
     hooks: Optional[List[General]] = None
     externalLib: Optional[List[str]] = None
+    # Optional square crop edge for training batches. Default (None) derives
+    # from the model: Neon-family size[0]*16, v1 Compressor 512 (the
+    # reference's fixed crop, transforms.py:21). Explicit values let v1 train
+    # on smaller crops (more optimizer steps per pixel budget) — the codec is
+    # fully convolutional, so train/eval resolutions are independent.
+    cropSize: Optional[int] = None
 
     _ALLOWED = {"totalStep", "batchSize", "epoch", "valFreq", "trainSet", "valSet",
-                "saveDir", "target", "optim", "schdr", "gpu", "hooks", "externalLib"}
+                "saveDir", "target", "optim", "schdr", "gpu", "hooks", "externalLib",
+                "cropSize"}
 
     @property
     def TotalStep(self) -> int:
@@ -121,6 +128,10 @@ class Train:
     @property
     def Target(self) -> str:
         return self.target
+
+    @property
+    def CropSize(self) -> Optional[int]:
+        return self.cropSize
 
     def scaledOptim(self, worldSize: int) -> General:
         """LR auto-scale by global batch (reference `config.py:144-153`)."""
@@ -171,6 +182,7 @@ class Train:
             gpu=GPU.fromDict(d.get("gpu") or {}),
             hooks=[General.fromDict(h, "train.hooks[]") for h in hooks] if hooks else None,
             externalLib=[str(x) for x in d["externalLib"]] if d.get("externalLib") else None,
+            cropSize=int(d["cropSize"]) if d.get("cropSize") else None,
         )
 
     def toDict(self) -> dict:
@@ -184,6 +196,8 @@ class Train:
             out["hooks"] = [h.toDict() for h in self.hooks]
         if self.externalLib:
             out["externalLib"] = list(self.externalLib)
+        if self.cropSize:
+            out["cropSize"] = self.cropSize
         return out
 
 

@@ -49,13 +49,16 @@ class Trainer:
             module = ModelRegistry.get(key)(**params)
         self._module = module
         if inputShape is None:
-            # Neon-family tokenizers fix their input: 3 stride-2 stages to the
-            # latent (= size[0]*2), whose first pyramid level halves it — so
-            # input = size[0]*16 (e.g. the 17-level size[0]=16 config trains
-            # on 256^2 crops, reference configs/a800_8.yaml). v1 Compressor
-            # has no size list and keeps the reference 512^2 crop.
-            sizeList = getattr(module, "size", None)
-            edge = int(sizeList[0]) * 16 if sizeList else 512
+            if train.CropSize:
+                edge = train.CropSize
+            else:
+                # Neon-family tokenizers fix their input: 3 stride-2 stages to
+                # the latent (= size[0]*2), whose first pyramid level halves it
+                # — so input = size[0]*16 (e.g. the 17-level size[0]=16 config
+                # trains on 256^2 crops, reference configs/a800_8.yaml). v1
+                # Compressor has no size list and keeps the reference 512^2 crop.
+                sizeList = getattr(module, "size", None)
+                edge = int(sizeList[0]) * 16 if sizeList else 512
             inputShape = (edge, edge)
         self._inputShape = tuple(inputShape)
 

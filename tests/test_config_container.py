@@ -42,6 +42,18 @@ def test_config_strips_dollar_keys():
     assert cfg.Model.Key == "Compressor"
 
 
+def test_config_crop_size_optional():
+    """cropSize: absent -> None (model-derived); explicit value round-trips."""
+    cfg = Config.deserialize(_cfgDict())
+    assert cfg.Train.CropSize is None
+    assert "cropSize" not in cfg.serialize()["train"]
+    d = _cfgDict()
+    d["train"]["cropSize"] = 256
+    cfg = Config.deserialize(d)
+    assert cfg.Train.CropSize == 256
+    assert Config.deserialize(cfg.serialize()).Train.CropSize == 256
+
+
 def test_lr_world_scaling():
     """reference config.py:144-153: lr /= 2**(3 - log2(globalBatch)/2)."""
     cfg = Config.deserialize(_cfgDict())
