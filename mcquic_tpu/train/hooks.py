@@ -46,9 +46,19 @@ class CodebookReassign:
         self._freq = max(int(freq), 1)
 
     def __call__(self, trainer, step: int):
-        if step % self._freq == 0:
-            prop = trainer.reassignCodebooks()
-            logger.info("step %d: codebook reassigned, proportion=%.4f", step, prop)
+        if step % self._freq != 0:
+            return
+        # Never reassign on the terminal step: the checkpoint is written
+        # immediately after, so the perturbed codebook/frequency tables ship
+        # with no training left to re-adapt them (measured on hardware: a
+        # reassign at step==totalStep regressed the exported model's rate
+        # 0.111 -> 0.138 bpp at unchanged PSNR; docs/RD_RESULTS_r03.md).
+        if step >= getattr(trainer, "totalStep", step + 1):
+            logger.info("step %d: skipping codebook reassignment on the "
+                        "terminal step (checkpoint ships un-readapted)", step)
+            return
+        prop = trainer.reassignCodebooks()
+        logger.info("step %d: codebook reassigned, proportion=%.4f", step, prop)
 
 
 def getAllHooks(hookConfigs) -> Dict[HookType, List[Callable]]:

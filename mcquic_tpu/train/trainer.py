@@ -149,6 +149,12 @@ class Trainer:
         return int(self._mesh.shape["data"])
 
     @property
+    def totalStep(self) -> int:
+        """Configured training step budget (hooks use it to avoid terminal-
+        step actions that the model can never re-adapt to)."""
+        return int(self._config.Train.TotalStep)
+
+    @property
     def module(self):
         return self._module
 

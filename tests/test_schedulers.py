@@ -82,3 +82,24 @@ def test_hook_assembly():
     stepHooks = hooks[HookType.StepFinishHook]
     assert len(stepHooks) == 1
     assert isinstance(stepHooks[0], CodebookReassign)
+
+
+def test_reassign_skips_terminal_step():
+    """A reassign that fires exactly at totalStep would ship a perturbed
+    codebook with no steps left to re-adapt (observed on TPU: +24% bpp on
+    the exported model) — the hook must skip it."""
+    calls = []
+
+    class FakeTrainer:
+        totalStep = 20
+
+        def reassignCodebooks(self):
+            calls.append(True)
+            return 0.1
+
+    hook = CodebookReassign(freq=10)
+    t = FakeTrainer()
+    hook(t, 5)       # off-frequency: no call
+    hook(t, 10)      # mid-training firing: reassigns
+    hook(t, 20)      # terminal step: skipped
+    assert len(calls) == 1
