@@ -14,12 +14,30 @@ from mcquic_tpu.nn.functional import pixelShuffle, pixelUnshuffle
 Dtype = Any
 
 
+def defaultKernelInit():
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in)),
+    variance 1/(3*fan_in) — 3x smaller than flax's lecun_normal.
+
+    The reference conv stacks set no custom init anywhere (mcquic/nn/*.py,
+    modules/compressor.py, modules/quantizer.py), so its training stability
+    implicitly depends on this scale. That dependence is real: at Neon
+    channel-256 17-level geometry (configs/a800_8.yaml) the extra sqrt(3)
+    per conv of lecun_normal compounds across the ~10^2-conv quantizer+decoder
+    chain into ~1e13 activations at init, and the IGDN cascade
+    (y = x*sqrt(1+0.1*x^2), super-linear for large x) turns that into an fp32
+    overflow -> NaN on the very first step (reproduced on CPU, round-3 NOTES).
+    With the torch-scale init the same forward is finite and the loss sane.
+    Bias stays zeros (flax default): torch's U(+-1/sqrt(fan_in)) bias only
+    breaks symmetry, it cannot amplify."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 class Conv(nn.Module):
     """kxk conv with 'same'-style pre-computed padding (reference convs.py:77-123).
 
-    `kernelInit=None` keeps flax's default (lecun normal); pass e.g.
-    `nn.initializers.zeros` for zero-init output heads (same parameter tree,
-    only the init distribution changes)."""
+    `kernelInit=None` uses the torch-default-matching scale (see
+    `defaultKernelInit`); pass e.g. `nn.initializers.zeros` for zero-init
+    output heads (same parameter tree, only the init distribution changes)."""
     features: int
     kernel: int = 3
     stride: int = 1
@@ -31,9 +49,8 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = self.kernel // 2
-        kwargs = {}
-        if self.kernelInit is not None:
-            kwargs["kernel_init"] = self.kernelInit
+        kwargs = {"kernel_init": self.kernelInit if self.kernelInit is not None
+                  else defaultKernelInit()}
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -99,7 +116,7 @@ class _UpConv(nn.Module):
         inC = x.shape[-1]
         outC = self.features * r * r
         kernelShape = (k, k, inC // self.groups, outC)
-        W = self.param("kernel", nn.initializers.lecun_normal(), kernelShape,
+        W = self.param("kernel", defaultKernelInit(), kernelShape,
                        jnp.float32)
         b = (self.param("bias", nn.initializers.zeros, (outC,), jnp.float32)
              if self.useBias else None)
@@ -144,14 +161,15 @@ class PixelShuffleConv(nn.Module):
             r = int(round(1 / self.rate))
             y = nn.Conv(self.features // (r * r), (self.kernel, self.kernel),
                         padding=((pad, pad), (pad, pad)), use_bias=self.useBias,
-                        feature_group_count=self.groups, dtype=self.dtype, param_dtype=jnp.float32)(x)
+                        feature_group_count=self.groups, kernel_init=defaultKernelInit(),
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
             return pixelUnshuffle(y, r)
         r = int(self.rate)
         if r == 1:
             return nn.Conv(self.features, (self.kernel, self.kernel),
                            padding=((pad, pad), (pad, pad)), use_bias=self.useBias,
-                           feature_group_count=self.groups, dtype=self.dtype,
-                           param_dtype=jnp.float32)(x)
+                           feature_group_count=self.groups, kernel_init=defaultKernelInit(),
+                           dtype=self.dtype, param_dtype=jnp.float32)(x)
         return _UpConv(self.features, self.kernel, r, self.groups,
                        self.useBias, self.dtype, name="Conv_0")(x)
 
@@ -188,7 +206,7 @@ class MaskedConv(nn.Module):
             raise ValueError(f"Invalid maskType {self.maskType!r}")
         kh = kw = self.kernel
         inC = x.shape[-1]
-        w = self.param("kernel", nn.initializers.lecun_normal(), (kh, kw, inC, self.features), jnp.float32)
+        w = self.param("kernel", defaultKernelInit(), (kh, kw, inC, self.features), jnp.float32)
         # Zero taps strictly after the center row; in the center row, zero taps
         # after (B) / at-and-after (A) the center column.
         mask = jnp.ones((kh, kw, 1, 1), jnp.float32)

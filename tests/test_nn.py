@@ -180,3 +180,52 @@ class TestSubpixelDeconv:
         for a, b in zip(flatA, flatB):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestDefaultInit:
+    """Conv init matches the torch Conv2d default the reference relies on.
+
+    The reference sets no custom init in its conv stacks (mcquic/nn/*.py,
+    modules/compressor.py, modules/quantizer.py), so it inherits torch's
+    kaiming_uniform(a=sqrt(5)): U(+-1/sqrt(fan_in)), variance 1/(3*fan_in).
+    flax's lecun_normal default is 3x larger per conv — enough to compound
+    into an fp32 overflow -> first-step NaN at Neon channel-256 17-level
+    geometry (reproduced on CPU; see nn/convs.py defaultKernelInit)."""
+
+    def test_conv_kernel_matches_torch_default_scale(self):
+        import jax
+        import numpy as np
+
+        from mcquic_tpu.nn.convs import conv3x3
+
+        module = conv3x3(64)
+        v = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 128)))
+        w = np.asarray(v["params"]["Conv_0"]["kernel"])
+        assert w.shape == (3, 3, 128, 64)
+        fanIn = 3 * 3 * 128
+        expected = (1.0 / (3.0 * fanIn)) ** 0.5
+        std = w.std()
+        assert 0.85 * expected < std < 1.15 * expected, (std, expected)
+        # uniform, not normal: bounded support at sqrt(3)*std
+        assert np.abs(w).max() <= (1.0 / fanIn) ** 0.5 * 1.0001
+
+    def test_deep_residual_decode_chain_stays_bounded(self):
+        """Regression for the Neon-256 first-step NaN: the 17-level
+        ResidualBackwardQuantizer decode chain must not amplify a real-init
+        forward into huge activations. Under the old lecun-scale init this
+        chain reached ~1e12 absmax (channel-8 internals — the blowup needs
+        no wide model); torch-scale init keeps it O(1)."""
+        import jax
+
+        from mcquic_tpu.models.quantizer import ResidualBackwardQuantizer
+
+        size = (8, 4, 4, 4, 4, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1)
+        module = ResidualBackwardQuantizer(k=64, size=size)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 8))
+        variables = module.init({"params": jax.random.PRNGKey(2),
+                                 "gumbel": jax.random.PRNGKey(3)}, x, train=True)
+        (yHat, codes, logits), _ = module.apply(
+            variables, x, train=True, rngs={"gumbel": jax.random.PRNGKey(4)},
+            mutable=["coder"])
+        absmax = float(jnp.max(jnp.abs(yHat)))
+        assert np.isfinite(absmax) and absmax < 100.0, absmax
