@@ -12,6 +12,7 @@ Run ON TPU; prints one JSON line (msPerStep, imagesPerSec, paramsM, HBM).
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +52,10 @@ def main(preset: str = "AnyRes_L", batch: int = 4, iters: int = 8):
     images = jnp.asarray(rngNp.integers(0, 256, (batch, 256, 256, 3)), jnp.uint8)
     labels = jnp.asarray(rngNp.integers(0, 1000, (batch,)), jnp.int32)
 
-    @jax.jit
+    # Donate the carried state like the product step (genTrainer jits with
+    # donate_argnums=(0,)); without aliasing, params+moments are double-
+    # buffered and AnyRes_L overflows the 16G chip at any batch size.
+    @partial(jax.jit, donate_argnums=(0,))
     def loop(state, images, labels):
         def body(i, carry):
             st, _ = carry
@@ -71,7 +75,8 @@ def main(preset: str = "AnyRes_L", batch: int = 4, iters: int = 8):
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        sync(loop(state, images, labels))
+        out = loop(out[0], images, labels)  # state donated: thread it through
+        sync(out)
         best = min(best, time.perf_counter() - t0)
     nParams = sum(int(np.prod(l.shape)) for l in
                   jax.tree_util.tree_leaves(variables["params"]))
