@@ -30,7 +30,10 @@ def test_two_process_train_step_agrees():
     outs = []
     for proc in workers:
         try:
-            out, err = proc.communicate(timeout=600)
+            # The 2-process stepFn CPU compile takes ~2 min on an idle host
+            # but 7+ min under load (XLA's slow-compile alarm fires); both
+            # workers still agree — don't let a busy machine fail the test.
+            out, err = proc.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for p in workers:
                 p.kill()
