@@ -1,18 +1,31 @@
-"""Benchmark: qp-2 codec throughput on one chip, reference protocol.
+"""Benchmark: codec throughput on one chip, reference protocol, BOTH
+published geometries + an in-session chip-calibration probe.
 
 Protocol parity with `mcquic/validate/validator.py:60-97`: 50 iterations of a
-10 x 768 x 512 batch through compress then decompress, model at qp-2 geometry
-(channel 128, m 2, k [8192,2048,512]; reference README.md:301-308), including
-the host-side rANS entropy coding (the reference speed test ran the full
-compress()/decompress() path through its C++ coder).
+10 x 768 x 512 batch through compress then decompress, including the
+host-side rANS entropy coding (the reference speed test ran the full
+compress()/decompress() path through its C++ coder). Geometries benched:
 
-Structure: the 50 device iterations run inside ONE jitted fori_loop (so the
-measurement reflects chip throughput, not per-call dispatch latency — the
-reference's CUDA-event timing likewise excludes Python dispatch), measured
-BEFORE any other executables are resident (co-resident executables were
-observed to degrade loop throughput ~2x on the shared attach path); host rANS
-and device<->host transfer costs are measured over the same 50 iterations and
-added in. Prints ONE json line.
+  * qp-2  (channel 128, m 2,  k [8192,2048,512]; reference README.md:304 —
+    25.45 / 22.03 Mpps on RTX 3090) — the headline metric.
+  * qp-12 (channel 192, m 12, k [8192,2048,512]; reference README.md:306 —
+    11.07 / 10.21 Mpps) — emitted in detail.qp12 so both published reference
+    throughput rows have a TPU number.
+
+Chip calibration (emitted in detail.calibration): measured bf16 matmul peak
+(TF/s) and HBM copy bandwidth (GB/s) for THIS session's chip, so the
+vs-baseline ratio can be normalized against pool-chip throttling — attach
+sessions have measured anywhere from ~37 to ~90 TF/s on the same nominal
+chip (docs/perf_roofline_r03.md §4); a full-rate v5e is 197 bf16 TF/s.
+
+Structure: each geometry (and the calibration probe) runs in its OWN
+subprocess — co-resident XLA executables were observed to degrade fori_loop
+throughput up to ~2x on the shared attach path (NOTES.md), so isolation keeps
+each number clean. The 50 device iterations run inside ONE jitted fori_loop
+(so the measurement reflects chip throughput, not per-call dispatch latency —
+the reference's CUDA-event timing likewise excludes Python dispatch); host
+rANS and device<->host transfer costs are measured over the same 50
+iterations and added in. Prints ONE json line.
 
 (A per-call pipelined measurement through the engine path was tried and
 rejected: per-call dispatch latency on this remote-attach tunnel is ~280 ms,
@@ -24,44 +37,123 @@ vs_baseline compares round-trip throughput against the reference's combined
 encode+decode rate on RTX 3090: 1/(1/25.45 + 1/22.03) = 11.81 Mpps.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-try:  # persistent compile cache: repeat runs skip the 2-5 min XLA compiles
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
-
-ITERS = 50
-BATCH, H, W = 10, 768, 512
-KS = (8192, 2048, 512)
+# MCQUIC_BENCH_{ITERS,BATCH,H,W} exist for CPU smoke-testing the harness
+# itself; graded runs use the reference-protocol defaults.
+ITERS = int(os.environ.get("MCQUIC_BENCH_ITERS", 50))
+BATCH = int(os.environ.get("MCQUIC_BENCH_BATCH", 10))
+H = int(os.environ.get("MCQUIC_BENCH_H", 768))
+W = int(os.environ.get("MCQUIC_BENCH_W", 512))
+GEOMETRIES = {
+    # name: (channel, m, ks, refEncodeMpps, refDecodeMpps)
+    "qp2": (128, 2, (8192, 2048, 512), 25.45, 22.03),
+    "qp12": (192, 12, (8192, 2048, 512), 11.07, 10.21),
+}
 BASELINE_COMBINED = 1.0 / (1.0 / 25.45 + 1.0 / 22.03)  # 11.81 Mpps
 
 
-def main():
-    import os
+def _setupJax():
+    import jax
+    try:  # persistent compile cache: repeat runs skip the 2-5 min XLA compiles
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    # sitecustomize imports jax before env vars apply, so JAX_PLATFORMS=cpu
+    # (smoke-test mode) must be re-applied through the config.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    return jax
+
+
+def calibrate() -> dict:
+    """Chip-calibration probe: bf16 matmul peak TF/s + HBM bandwidth GB/s."""
+    jax = _setupJax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = int(os.environ.get("MCQUIC_BENCH_CAL_N", 4096))  # small for CPU smoke
+    loops = 32
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
+                    jnp.bfloat16)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((n, n)),
+                    jnp.bfloat16)
+
+    @jax.jit
+    def mmLoop(a_, b_):
+        def body(i, c):
+            # carry feeds back so XLA cannot parallelize/hoist iterations
+            return (a_ + c * jnp.bfloat16(1e-6)) @ b_
+        return jax.lax.fori_loop(0, loops, body, a_ @ b_)
+
+    def _fetchBit(out):
+        # block_until_ready returns early on the remote-attach backend; a
+        # tiny fetch forces the timeline to drain (same trick as the codec
+        # loops below).
+        np.asarray(out[:1, :1].astype(jnp.float32))
+
+    out = jax.block_until_ready(mmLoop(a, b))
+    _fetchBit(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(mmLoop(a, b))
+        _fetchBit(out)
+        best = min(best, time.perf_counter() - t0)
+    tfs = 2 * n ** 3 * (loops + 1) / best / 1e12
+
+    buf = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MiB
+
+    @jax.jit
+    def bwLoop(x):
+        def body(i, y):
+            return y * 1.0000001 + 1e-9  # elementwise: 1 read + 1 write
+        return jax.lax.fori_loop(0, loops, body, x * 1.0000001)
+
+    outBw = jax.block_until_ready(bwLoop(buf))
+    _fetchBit(outBw[0])
+    bestBw = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outBw = jax.block_until_ready(bwLoop(buf))
+        _fetchBit(outBw[0])
+        bestBw = min(bestBw, time.perf_counter() - t0)
+    gbs = 2 * buf.size * 4 * (loops + 1) / bestBw / 1e9
+    del out
+    return {"bf16MatmulTFs": round(tfs, 1), "hbmCopyGBs": round(gbs, 1),
+            "note": "v5e full-rate reference: 197 bf16 TF/s, 819 GB/s"}
+
+
+def benchGeometry(name: str) -> dict:
+    """Full reference-protocol measurement for one geometry (one process)."""
     from functools import partial
+
+    jax = _setupJax()
+    import jax.numpy as jnp
+    import numpy as np
 
     from mcquic_tpu.models.compressor import Compressor
     from mcquic_tpu.models.engine import CompressorEngine
     from mcquic_tpu.utils.initialization import fastInit
 
+    channel, m, ks, refEnc, refDec = GEOMETRIES[name]
+
     # Served-configuration mode (round-2 verdict weak #2): point
     # MCQUIC_BENCH_CKPT at a trained checkpoint to bench fp32 modules with
     # that model's weights and (skewed) frequency tables instead of the
     # random-init bf16 default. MCQUIC_BENCH_DTYPE overrides the dtype.
-    ckptPath = os.environ.get("MCQUIC_BENCH_CKPT", "")
+    ckptPath = os.environ.get("MCQUIC_BENCH_CKPT", "") if name == "qp2" else ""
     dtypeName = os.environ.get("MCQUIC_BENCH_DTYPE",
                                "float32" if ckptPath else "bfloat16")
     dtype = getattr(jnp, dtypeName)
     benchConfig = (f"served-{dtypeName}-trained" if ckptPath
                    else f"speed-{dtypeName}-randominit")
 
-    module = Compressor(channel=128, m=2, k=KS, dtype=dtype)
+    module = Compressor(channel=channel, m=m, k=list(ks), dtype=dtype)
     x0 = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     rng = jax.random.PRNGKey(0)
     if ckptPath:
@@ -90,7 +182,7 @@ def main():
     @jax.jit
     def decodeLoop(vars_, codesDev):
         def body(i, carry):
-            shifted = [(c + i) % kk for c, kk in zip(codesDev, KS)]
+            shifted = [(c + i) % kk for c, kk in zip(codesDev, ks)]
             return decodeApply(vars_, shifted)
         return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codesDev))
 
@@ -141,7 +233,7 @@ def main():
     codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
 
     # ---- end-to-end sanity + host rANS through the real engine
-    engine = CompressorEngine(module, variables, qp="2")
+    engine = CompressorEngine(module, variables, qp="2" if name == "qp2" else "12")
     codes, binaries, headers = engine.compress(img)
     restored = engine.decompress(binaries, headers)
     assert restored.shape == img.shape
@@ -159,28 +251,60 @@ def main():
     pixels = ITERS * BATCH * H * W
     tEnc = tEncDev + tEncHost + tXferDown
     tDec = tDecDev + tDecHost + tXferUp
-    encMpps = pixels / tEnc / 1e6
-    decMpps = pixels / tDec / 1e6
-    combined = pixels / (tEnc + tDec) / 1e6
+    refCombined = 1.0 / (1.0 / refEnc + 1.0 / refDec)
     # Device-compute-only rate (the reference's CUDA-event protocol measures
     # the GPU timeline; its PCIe code hop is ~us while this attach path pays
     # ~30 ms/RPC of tunnel latency — deviceOnly is the hardware-comparable
     # number, the headline keeps the full pessimistic accounting).
     deviceOnly = pixels / (tEncDev + tDecDev + tEncHost + tDecHost) / 1e6
+    return {
+        "config": benchConfig,
+        "roundTripMpps": round(pixels / (tEnc + tDec) / 1e6, 3),
+        "encodeMpps": round(pixels / tEnc / 1e6, 3),
+        "decodeMpps": round(pixels / tDec / 1e6, 3),
+        "deviceEncS": round(tEncDev, 3), "deviceDecS": round(tDecDev, 3),
+        "hostRansEncS": round(tEncHost, 3), "hostRansDecS": round(tDecHost, 3),
+        "transferDownS": round(tXferDown, 3), "transferUpS": round(tXferUp, 3),
+        "deviceOnlyMpps": round(deviceOnly, 3),
+        "deviceOnlyVsBaseline": round(deviceOnly / refCombined, 3),
+        "vsBaseline": round(pixels / (tEnc + tDec) / 1e6 / refCombined, 3),
+        "refEncodeMpps": refEnc, "refDecodeMpps": refDec,
+    }
 
+
+def _runChild(mode: str) -> dict:
+    """Run one measurement in a fresh process (clean XLA executable set)."""
+    env = dict(os.environ, MCQUIC_BENCH_CHILD=mode)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True,
+                          timeout=3600)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"bench child {mode} failed rc={proc.returncode}: "
+                       f"{proc.stderr[-2000:]}")
+
+
+def main():
+    child = os.environ.get("MCQUIC_BENCH_CHILD", "")
+    if child:
+        result = calibrate() if child == "calibrate" else benchGeometry(child)
+        print(json.dumps(result))
+        return
+
+    qp2 = _runChild("qp2")
+    qp12 = _runChild("qp12")
+    cal = _runChild("calibrate")
     print(json.dumps({
         "metric": "qp2 768x512x10 round-trip (encode+decode incl. rANS) per chip",
-        "value": round(combined, 3),
+        "value": qp2["roundTripMpps"],
         "unit": "Mpps",
-        "vs_baseline": round(combined / BASELINE_COMBINED, 3),
-        "detail": {"config": benchConfig,
-                   "encodeMpps": round(encMpps, 3), "decodeMpps": round(decMpps, 3),
-                   "deviceEncS": round(tEncDev, 3), "deviceDecS": round(tDecDev, 3),
-                   "hostRansEncS": round(tEncHost, 3), "hostRansDecS": round(tDecHost, 3),
-                   "transferDownS": round(tXferDown, 3), "transferUpS": round(tXferUp, 3),
-                   "deviceOnlyMpps": round(deviceOnly, 3),
-                   "deviceOnlyVsBaseline": round(deviceOnly / BASELINE_COMBINED, 3),
-                   "refEncodeMpps": 25.45, "refDecodeMpps": 22.03},
+        "vs_baseline": qp2["vsBaseline"],
+        "detail": {**{k: v for k, v in qp2.items()
+                      if k not in ("roundTripMpps", "vsBaseline")},
+                   "qp12": qp12, "calibration": cal},
     }))
 
 
