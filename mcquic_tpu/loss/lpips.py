@@ -132,16 +132,52 @@ def convertVggStateDict(vsd) -> dict:
     return vgg
 
 
+def makeProxyLpipsFn(dtype=jnp.float32, seed: int = 3407):
+    """Random-feature perceptual proxy: the LPIPS architecture with a SEEDED
+    random VGG16 backbone and channel-averaging (uniform) lin heads.
+
+    Untrained/random deep features are a known, surprisingly strong perceptual
+    distance (Amir & Weiss 2021, "Understanding and Simplifying Perceptual
+    Distances"): the multi-scale conv pyramid + unit-normalized feature diffs
+    do most of the work, not the ImageNet weights. This is NOT the reference
+    objective's trained LPIPS (`mcquic/loss/lpips.py:13-56`) — it exists so
+    the 2x-weighted perceptual slot in `0.5*recon + 0.5*mse + 2*lpips`
+    (reference trainer.py:276) can be A/B'd at all in this zero-egress
+    environment. Opt in with MCQUIC_LPIPS_PROXY=1; results must be labeled
+    "proxy", never "LPIPS".
+    """
+    module = LPIPS(dtype=dtype)
+    rng = jax.random.PRNGKey(seed)
+    x0 = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    params = module.init(rng, x0, x0)["params"]
+    # uniform lin heads: plain channel mean of the squared unit-feature diff
+    for name in list(params):
+        if name.startswith("lin"):
+            k = params[name]["kernel"]
+            params[name] = {"kernel": jnp.full(k.shape, 1.0 / k.shape[2],
+                                               k.dtype)}
+    return makeLpipsFn(params, dtype=dtype)
+
+
 def makeDefaultLpipsFn(dtype=jnp.float32):
     """Assemble the full LPIPS fn from the bundled lin heads + a locatable
     VGG16 backbone; None (with ONE loud warning) when the backbone is absent.
 
     The reference trains `0.5*recon + 0.5*mse + 2*lpips` (trainer.py:276);
     without the backbone the dominant term is silently zero, hence the noise.
+    MCQUIC_LPIPS_PROXY=1 substitutes the seeded random-feature proxy
+    (makeProxyLpipsFn) into the perceptual slot instead of zeroing it.
     """
     global _warnedOnce
     vggPath = findVggWeights()
     if vggPath is None:
+        if os.environ.get("MCQUIC_LPIPS_PROXY", ""):
+            banner = ("LPIPS PROXY ACTIVE: seeded random-feature perceptual "
+                      "distance in the lpips slot (MCQUIC_LPIPS_PROXY=1). "
+                      "This is NOT the reference's trained VGG16-LPIPS.")
+            logger.warning(banner)
+            print(banner, flush=True)
+            return makeProxyLpipsFn(dtype=dtype)
         if not _warnedOnce:
             _warnedOnce = True
             banner = (

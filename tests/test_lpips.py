@@ -50,6 +50,34 @@ def test_default_lpips_none_without_backbone(monkeypatch, tmp_path):
     assert L._warnedOnce  # the loud banner fired
 
 
+def test_proxy_lpips_opt_in(monkeypatch, tmp_path):
+    """MCQUIC_LPIPS_PROXY=1 fills the perceptual slot with the seeded
+    random-feature proxy when no backbone exists: deterministic, zero on
+    identical inputs, positive on distinct (Amir & Weiss 2021 rationale in
+    makeProxyLpipsFn)."""
+    monkeypatch.delenv("MCQUIC_VGG16_WEIGHTS", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))  # empty cache dir
+    monkeypatch.setenv("MCQUIC_LPIPS_PROXY", "1")
+    fn = L.makeDefaultLpipsFn()
+    assert fn is not None
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.3, x.shape).astype(np.float32), -1, 1)
+    same = float(fn(x, x))
+    diff1 = float(fn(x, y))
+    diff2 = float(L.makeProxyLpipsFn()(x, y))  # same seed -> same distance
+    assert abs(same) < 1e-6
+    assert diff1 > 0 and np.isfinite(diff1)
+    np.testing.assert_allclose(diff1, diff2, rtol=1e-5)
+
+
+def test_default_lpips_proxy_not_active_without_env(monkeypatch, tmp_path):
+    monkeypatch.delenv("MCQUIC_VGG16_WEIGHTS", raising=False)
+    monkeypatch.delenv("MCQUIC_LPIPS_PROXY", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    assert L.makeDefaultLpipsFn() is None
+
+
 @pytest.mark.slow
 def test_lpips_fn_full_pipeline_with_backbone(monkeypatch, tmp_path):
     """Synthetic VGG16 backbone via MCQUIC_VGG16_WEIGHTS -> working fn with
