@@ -18,14 +18,19 @@ vs-baseline ratio can be normalized against pool-chip throttling — attach
 sessions have measured anywhere from ~37 to ~90 TF/s on the same nominal
 chip (docs/perf_roofline_r03.md §4); a full-rate v5e is 197 bf16 TF/s.
 
-Structure: each geometry (and the calibration probe) runs in its OWN
-subprocess — co-resident XLA executables were observed to degrade fori_loop
-throughput up to ~2x on the shared attach path (NOTES.md), so isolation keeps
-each number clean. The 50 device iterations run inside ONE jitted fori_loop
-(so the measurement reflects chip throughput, not per-call dispatch latency —
-the reference's CUDA-event timing likewise excludes Python dispatch); host
-rANS and device<->host transfer costs are measured over the same 50
-iterations and added in. Prints ONE json line.
+Process structure: every measurement runs in its OWN subprocess — encode
+loop, decode loop (per geometry), and the calibration probe. Co-resident
+XLA executables degrade fori_loop throughput on this shared attach path
+(measured ~5% on the decode loop when the encode executable is resident, up
+to ~2x with many executables — NOTES.md); that is a tunnel artifact with no
+CUDA-event analogue, so each loop is measured clean. The decode child feeds
+the decoder uniform random codes (decoder conv cost is data-independent;
+the rANS cost, which IS distribution-dependent, is measured on real encoder
+output in the encode child). The 50 device iterations run inside ONE jitted
+fori_loop (so the measurement reflects chip throughput, not per-call
+dispatch latency — the reference's CUDA-event timing likewise excludes
+Python dispatch); host rANS and device<->host transfer costs are measured
+over the same 50 iterations and added in. Prints ONE json line.
 
 (A per-call pipelined measurement through the engine path was tried and
 rejected: per-call dispatch latency on this remote-attach tunnel is ~280 ms,
@@ -42,8 +47,8 @@ import subprocess
 import sys
 import time
 
-# MCQUIC_BENCH_{ITERS,BATCH,H,W} exist for CPU smoke-testing the harness
-# itself; graded runs use the reference-protocol defaults.
+# MCQUIC_BENCH_{ITERS,BATCH,H,W,CAL_N} exist for CPU smoke-testing the
+# harness itself; graded runs use the reference-protocol defaults.
 ITERS = int(os.environ.get("MCQUIC_BENCH_ITERS", 50))
 BATCH = int(os.environ.get("MCQUIC_BENCH_BATCH", 10))
 H = int(os.environ.get("MCQUIC_BENCH_H", 768))
@@ -86,8 +91,12 @@ def calibrate() -> dict:
     @jax.jit
     def mmLoop(a_, b_):
         def body(i, c):
-            # carry feeds back so XLA cannot parallelize/hoist iterations
-            return (a_ + c * jnp.bfloat16(1e-6)) @ b_
+            # pure matmul chain (carry feeds back so XLA cannot hoist); the
+            # 1/sqrt(n) scale keeps bf16 magnitudes ~1 and fuses into the
+            # matmul epilogue — an additive `a_ + c` body costs an extra
+            # HBM-bound elementwise op per iteration and under-reads peak
+            # by ~25% on throttled-bandwidth chips.
+            return (c @ b_) * jnp.bfloat16(0.015625)
         return jax.lax.fori_loop(0, loops, body, a_ @ b_)
 
     def _fetchBit(out):
@@ -128,19 +137,17 @@ def calibrate() -> dict:
             "note": "v5e full-rate reference: 197 bf16 TF/s, 819 GB/s"}
 
 
-def benchGeometry(name: str) -> dict:
-    """Full reference-protocol measurement for one geometry (one process)."""
-    from functools import partial
-
+def _buildBench(name: str):
+    """Shared setup for the per-phase measurement children: returns
+    (jax, jnp, np, module, variables, ks, benchConfig)."""
     jax = _setupJax()
     import jax.numpy as jnp
     import numpy as np
 
     from mcquic_tpu.models.compressor import Compressor
-    from mcquic_tpu.models.engine import CompressorEngine
     from mcquic_tpu.utils.initialization import fastInit
 
-    channel, m, ks, refEnc, refDec = GEOMETRIES[name]
+    channel, m, ks, _, _ = GEOMETRIES[name]
 
     # Served-configuration mode (round-2 verdict weak #2): point
     # MCQUIC_BENCH_CKPT at a trained checkpoint to bench fp32 modules with
@@ -163,14 +170,42 @@ def benchGeometry(name: str) -> dict:
     else:
         variables = fastInit(module, {"params": rng, "gumbel": rng}, x0,
                              train=False)
-    applyVars = jax.device_put(variables)
+    return jax, jnp, np, module, variables, ks, dtype, benchConfig
+
+
+def _bestOf(jax, jnp, np, fn, repeats: int = 3):
+    def _fetchBit(out):
+        # force full completion (block_until_ready alone returns early on
+        # some remote-attach backends)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1].astype(jnp.float32))
+
+    out = fn()
+    jax.block_until_ready(out)
+    _fetchBit(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        _fetchBit(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def benchEncode(name: str) -> dict:
+    """Encode-phase child: device encode loop (only executable during its
+    measurement), then code pack/transfer RPCs, then host rANS on REAL
+    encoder output, then an end-to-end engine sanity round-trip."""
+    from functools import partial
+
+    jax, jnp, np, module, variables, ks, dtype, benchConfig = _buildBench(name)
 
     rngNp = np.random.default_rng(0)
     img = rngNp.uniform(-1, 1, (BATCH, H, W, 3)).astype(np.float32)
     xDev = jax.device_put(jnp.asarray(img, dtype))
-
+    applyVars = jax.device_put(variables)
     encodeApply = partial(module.apply, method=module.encode)
-    decodeApply = partial(module.apply, method=module.decode)
 
     @jax.jit
     def encodeLoop(vars_, x):
@@ -179,35 +214,7 @@ def benchGeometry(name: str) -> dict:
             return encodeApply(vars_, x * (1.0 + i.astype(x.dtype) * 1e-2))
         return jax.lax.fori_loop(0, ITERS, body, encodeApply(vars_, x))
 
-    @jax.jit
-    def decodeLoop(vars_, codesDev):
-        def body(i, carry):
-            shifted = [(c + i) % kk for c, kk in zip(codesDev, ks)]
-            return decodeApply(vars_, shifted)
-        return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codesDev))
-
-    def _fetchBit(out):
-        # force full completion (block_until_ready alone returns early on
-        # some remote-attach backends)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[:1].astype(jnp.float32))
-
-    def bestOf(fn, repeats: int = 3):
-        out = fn()
-        jax.block_until_ready(out)
-        _fetchBit(out)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = fn()
-            jax.block_until_ready(out)
-            _fetchBit(out)
-            best = min(best, time.perf_counter() - t0)
-        return best, out
-
-    # ---- device model time FIRST (50 iters in-graph, best of 3)
-    tEncDev, lastCodes = bestOf(lambda: encodeLoop(applyVars, xDev))
-    tDecDev, _ = bestOf(lambda: decodeLoop(applyVars, lastCodes))
+    tEncDev, lastCodes = _bestOf(jax, jnp, np, lambda: encodeLoop(applyVars, xDev))
 
     # ---- device->host code transfer (once per compress call; the engine
     # packs all levels into ONE array -> one RPC)
@@ -233,7 +240,8 @@ def benchGeometry(name: str) -> dict:
     codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
 
     # ---- end-to-end sanity + host rANS through the real engine
-    engine = CompressorEngine(module, variables, qp="2" if name == "qp2" else "12")
+    from mcquic_tpu.models.engine import CompressorEngine
+    engine = CompressorEngine(module, variables, qp=name.replace("qp", ""))
     codes, binaries, headers = engine.compress(img)
     restored = engine.decompress(binaries, headers)
     assert restored.shape == img.shape
@@ -245,31 +253,44 @@ def benchGeometry(name: str) -> dict:
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        decoded = engine.coder.decompress(binaries, codeSizes)
+        engine.coder.decompress(binaries, codeSizes)
     tDecHost = time.perf_counter() - t0
 
-    pixels = ITERS * BATCH * H * W
-    tEnc = tEncDev + tEncHost + tXferDown
-    tDec = tDecDev + tDecHost + tXferUp
-    refCombined = 1.0 / (1.0 / refEnc + 1.0 / refDec)
-    # Device-compute-only rate (the reference's CUDA-event protocol measures
-    # the GPU timeline; its PCIe code hop is ~us while this attach path pays
-    # ~30 ms/RPC of tunnel latency — deviceOnly is the hardware-comparable
-    # number, the headline keeps the full pessimistic accounting).
-    deviceOnly = pixels / (tEncDev + tDecDev + tEncHost + tDecHost) / 1e6
-    return {
-        "config": benchConfig,
-        "roundTripMpps": round(pixels / (tEnc + tDec) / 1e6, 3),
-        "encodeMpps": round(pixels / tEnc / 1e6, 3),
-        "decodeMpps": round(pixels / tDec / 1e6, 3),
-        "deviceEncS": round(tEncDev, 3), "deviceDecS": round(tDecDev, 3),
-        "hostRansEncS": round(tEncHost, 3), "hostRansDecS": round(tDecHost, 3),
-        "transferDownS": round(tXferDown, 3), "transferUpS": round(tXferUp, 3),
-        "deviceOnlyMpps": round(deviceOnly, 3),
-        "deviceOnlyVsBaseline": round(deviceOnly / refCombined, 3),
-        "vsBaseline": round(pixels / (tEnc + tDec) / 1e6 / refCombined, 3),
-        "refEncodeMpps": refEnc, "refDecodeMpps": refDec,
-    }
+    return {"config": benchConfig,
+            "deviceEncS": round(tEncDev, 3),
+            "hostRansEncS": round(tEncHost, 3),
+            "hostRansDecS": round(tDecHost, 3),
+            "transferDownS": round(tXferDown, 3),
+            "transferUpS": round(tXferUp, 3)}
+
+
+def benchDecode(name: str) -> dict:
+    """Decode-phase child: device decode loop, the ONLY executable in this
+    process. Codes are uniform random (decoder conv/gather cost is
+    data-independent; rANS, which is distribution-dependent, is timed in the
+    encode child on real encoder output)."""
+    from functools import partial
+
+    jax, jnp, np, module, variables, ks, dtype, benchConfig = _buildBench(name)
+    channel, m, _, _, _ = GEOMETRIES[name]
+
+    applyVars = jax.device_put(variables)
+    decodeApply = partial(module.apply, method=module.decode)
+
+    rngNp = np.random.default_rng(1)
+    codes = [jax.device_put(jnp.asarray(
+        rngNp.integers(0, kk, (BATCH, H // (16 << i), W // (16 << i), m)),
+        jnp.int32)) for i, kk in enumerate(ks)]
+
+    @jax.jit
+    def decodeLoop(vars_, codesDev):
+        def body(i, carry):
+            shifted = [(c + i) % kk for c, kk in zip(codesDev, ks)]
+            return decodeApply(vars_, shifted)
+        return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codes))
+
+    tDecDev, _ = _bestOf(jax, jnp, np, lambda: decodeLoop(applyVars, codes))
+    return {"deviceDecS": round(tDecDev, 3)}
 
 
 def _runChild(mode: str) -> dict:
@@ -287,15 +308,48 @@ def _runChild(mode: str) -> dict:
                        f"{proc.stderr[-2000:]}")
 
 
+def _geometry(name: str) -> dict:
+    """Assemble one geometry's metrics from its encode + decode children."""
+    enc = _runChild(f"{name}:encode")
+    dec = _runChild(f"{name}:decode")
+    _, _, _, refEnc, refDec = GEOMETRIES[name]
+    refCombined = 1.0 / (1.0 / refEnc + 1.0 / refDec)
+    pixels = ITERS * BATCH * H * W
+    tEnc = enc["deviceEncS"] + enc["hostRansEncS"] + enc["transferDownS"]
+    tDec = dec["deviceDecS"] + enc["hostRansDecS"] + enc["transferUpS"]
+    # Device-compute-only rate (the reference's CUDA-event protocol measures
+    # the GPU timeline; its PCIe code hop is ~us while this attach path pays
+    # ~30 ms/RPC of tunnel latency — deviceOnly is the hardware-comparable
+    # number, the headline keeps the full pessimistic accounting).
+    deviceOnly = pixels / (enc["deviceEncS"] + dec["deviceDecS"]
+                           + enc["hostRansEncS"] + enc["hostRansDecS"]) / 1e6
+    return {
+        "config": enc["config"],
+        "roundTripMpps": round(pixels / (tEnc + tDec) / 1e6, 3),
+        "encodeMpps": round(pixels / tEnc / 1e6, 3),
+        "decodeMpps": round(pixels / tDec / 1e6, 3),
+        **{k: v for k, v in enc.items() if k != "config"},
+        **dec,
+        "deviceOnlyMpps": round(deviceOnly, 3),
+        "deviceOnlyVsBaseline": round(deviceOnly / refCombined, 3),
+        "vsBaseline": round(pixels / (tEnc + tDec) / 1e6 / refCombined, 3),
+        "refEncodeMpps": refEnc, "refDecodeMpps": refDec,
+    }
+
+
 def main():
     child = os.environ.get("MCQUIC_BENCH_CHILD", "")
     if child:
-        result = calibrate() if child == "calibrate" else benchGeometry(child)
+        if child == "calibrate":
+            result = calibrate()
+        else:
+            name, phase = child.split(":")
+            result = benchEncode(name) if phase == "encode" else benchDecode(name)
         print(json.dumps(result))
         return
 
-    qp2 = _runChild("qp2")
-    qp12 = _runChild("qp12")
+    qp2 = _geometry("qp2")
+    qp12 = _geometry("qp12")
     cal = _runChild("calibrate")
     print(json.dumps({
         "metric": "qp2 768x512x10 round-trip (encode+decode incl. rANS) per chip",
