@@ -248,6 +248,12 @@ class GenTrainer:
         train = self._config.Train
         total = train.TotalStep
         saveFreq = max(train.ValFreq // 10, 1)
+        # Same crash insurance as Trainer.train: cap the save interval when
+        # validation is disabled (see MCQUIC_SAVE_FREQ there).
+        import os as _osEnv
+        envSave = _osEnv.environ.get("MCQUIC_SAVE_FREQ")
+        if envSave:
+            saveFreq = min(saveFreq, max(int(envSave), 1))
         step = int(self._state.step)
         import math as _math
         import time as _time

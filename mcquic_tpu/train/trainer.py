@@ -226,7 +226,14 @@ class Trainer:
         # here so the accepted key does what it says.
         maxEpochs = max(int(getattr(train, "Epoch", 0) or 0), 0) or None
         valFreq = train.ValFreq
+        # Long runs with validation disabled (valFreq huge) would otherwise
+        # never checkpoint until the final step — a tunnel drop then loses
+        # hours. MCQUIC_SAVE_FREQ caps the save interval independently.
+        import os as _osEnv
         saveFreq = max(valFreq // 10, 1)
+        envSave = _osEnv.environ.get("MCQUIC_SAVE_FREQ")
+        if envSave:
+            saveFreq = min(saveFreq, max(int(envSave), 1))
         if metricsLogger is None and onStep is None:
             # wandb project parity (reference trainer.py:319-344); degrades to
             # stdlib logging when wandb is unavailable.
