@@ -101,14 +101,16 @@ def train(debug, quiet, resume, gen, configpath):
 @click.option("-q", "--quiet", is_flag=True)
 @click.option("-e", "--export", type=click.Path(path_type=pathlib.Path), default=None,
               help="Export a deploy model stripped of training state.")
+@click.option("--bf16", is_flag=True,
+              help="Export params as bfloat16 (half-size artifact; coder tables stay exact).")
 @click.argument("path", type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path))
 @click.argument("images", type=click.Path(exists=True, file_okay=False, path_type=pathlib.Path),
                 required=False)
-def validate(debug, quiet, export, path, images):
+def validate(debug, quiet, export, bf16, path, images):
     """Validate a checkpoint on an image folder + speed test (cli.py:80-100)."""
     _setupLogging(debug, quiet)
     from mcquic_tpu.validate.cli import main
-    main(path, images, export)
+    main(path, images, export, bf16=bf16)
 
 
 @entryPoint.command()

@@ -41,10 +41,19 @@ def _unflatten(flat):
 
 
 def saveTree(path: Path, tree: Any, meta: Optional[dict] = None):
-    """Save a pytree of arrays as an .npz + sidecar json metadata."""
+    """Save a pytree of arrays as an .npz + sidecar json metadata.
+
+    bfloat16 leaves are stored as a uint16 view under `key@bf16` — the npy
+    format can't roundtrip the ml_dtypes dtype (it loads back as void16);
+    loadTree restores such keys to float32.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = _flatten(jax.tree_util.tree_map(np.asarray, tree))
+    import ml_dtypes
+    flat = {(k + "@bf16" if a.dtype == ml_dtypes.bfloat16 else k):
+            (a.view(np.uint16) if a.dtype == ml_dtypes.bfloat16 else a)
+            for k, a in flat.items()}
     np.savez(str(path), **flat)
     if meta is not None:
         path.with_suffix(".json").write_text(json.dumps(meta))
@@ -54,6 +63,12 @@ def loadTree(path: Path):
     path = Path(path)
     with np.load(str(path), allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
+    bf16Keys = [k for k in flat if k.endswith("@bf16")]
+    if bf16Keys:
+        import ml_dtypes
+        for k in bf16Keys:
+            flat[k[:-len("@bf16")]] = (
+                flat.pop(k).view(ml_dtypes.bfloat16).astype(np.float32))
     meta = None
     metaPath = path.with_suffix(".json")
     if metaPath.exists():
@@ -124,12 +139,24 @@ class Saver:
         return loadTree(Path(path))
 
 
-def exportModel(path: Path, variables: Any, config: dict, qp: str = "-1"):
+def exportModel(path: Path, variables: Any, config: dict, qp: str = "-1",
+                bf16: bool = False):
     """Strip training state; write {model, config, version} with sha256-suffixed
-    name (reference validate/cli.py:77-100)."""
+    name (reference validate/cli.py:77-100).
+
+    `bf16=True` additionally casts float32 PARAMS to bfloat16 for a half-size
+    deploy artifact (bf16 serving measured quality-free, docs/RD_RESULTS_r03.md;
+    loadTree restores them as float32). Coder tables stay exact — rANS
+    frequency tables must match bit-for-bit between encoder and decoder."""
     from mcquic_tpu.utils import hashOfFile
+    params = variables["params"]
+    if bf16:
+        import ml_dtypes
+        params = jax.tree_util.tree_map(
+            lambda a: np.asarray(a).astype(ml_dtypes.bfloat16)
+            if np.asarray(a).dtype == np.float32 else np.asarray(a), params)
     path = Path(path)
-    saveTree(path, {"params": variables["params"], "coder": variables.get("coder", {})},
+    saveTree(path, {"params": params, "coder": variables.get("coder", {})},
              {"config": config, "version": mcquic_tpu.__version__, "qp": qp})
     digest = hashOfFile(str(path))
     final = path.with_name(f"{path.stem.split('.')[0]}_{digest[:8]}.mcquic.npz")

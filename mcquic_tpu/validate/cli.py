@@ -28,7 +28,7 @@ def loadAnyCheckpoint(path: Path):
     return variables, config, meta
 
 
-def main(path: Path, images, export=None):
+def main(path: Path, images, export=None, bf16: bool = False):
     from mcquic_tpu.demo import _buildModule
 
     variables, config, meta = loadAnyCheckpoint(Path(path))
@@ -47,6 +47,6 @@ def main(path: Path, images, export=None):
 
     if export is not None:
         final = exportModel(Path(export), variables, config.serialize(),
-                            qp=str(meta.get("qp", "-1")))
+                            qp=str(meta.get("qp", "-1")), bf16=bf16)
         logger.info("exported deploy model to %s", final)
         print(str(final))

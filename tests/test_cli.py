@@ -140,3 +140,36 @@ def test_multihost_bootstrap_single_process():
                          text=True, timeout=300,
                          cwd=str(Path(__file__).resolve().parent.parent))
     assert "BOOTSTRAP_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_bf16_export_roundtrips_and_compresses(tmp_path):
+    """bf16 deploy export: params stored as uint16 bf16 views (npy can't
+    roundtrip ml_dtypes), restored as float32 by loadTree; codec still
+    round-trips through the engine and the artifact is ~half the size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcquic_tpu.config import Config
+    from mcquic_tpu.demo import loadModel
+    from mcquic_tpu.models.compressor import Compressor
+    from mcquic_tpu.train.saver import exportModel
+
+    module = Compressor(channel=8, m=2, k=(16, 8))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = module.init({"params": jax.random.PRNGKey(0),
+                             "gumbel": jax.random.PRNGKey(1)}, x, train=False)
+    cfg = Config.deserialize(
+        {"model": {"key": "Compressor", "params": {"channel": 8, "m": 2, "k": [16, 8]}}})
+    full = exportModel(tmp_path / "fp32.npz", variables, cfg.serialize(), qp="2")
+    half = exportModel(tmp_path / "bf16.npz", variables, cfg.serialize(), qp="2",
+                       bf16=True)
+    assert half.stat().st_size < 0.75 * full.stat().st_size
+
+    engine = loadModel(local=str(half))
+    leaves = jax.tree_util.tree_leaves(engine._variables["params"])
+    assert all(l.dtype == np.float32 for l in leaves if np.issubdtype(l.dtype, np.floating))
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    _, binaries, headers = engine.compress(img[None])
+    out = engine.decompress(binaries, headers)
+    assert out[0].shape == img.shape
