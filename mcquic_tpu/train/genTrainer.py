@@ -292,4 +292,6 @@ class GenTrainer:
             self._runHooks("epochFinish", step)
         self.save()
         self._runHooks("afterRun", step)
+        if self._saver is not None:
+            self._saver.close()  # release the saveDir lock for in-process reruns
         return self._state

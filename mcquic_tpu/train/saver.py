@@ -86,6 +86,25 @@ class Saver:
         self._root = Path(saveDir)
         self._maxItems = maxItems
         self._previous: Optional[Path] = None
+        self._root.mkdir(parents=True, exist_ok=True)
+        # One live trainer per saveDir. Two trainers sharing a saveDir rotate
+        # each other's `latest/` away mid-run and interleave saves into the
+        # same file — observed corrupting a 20k-step run when a supervisor
+        # relaunch raced a still-alive trainer. The reference is implicitly
+        # protected by torchrun owning the only rank-0 (train/utils.py:63-77);
+        # here an exclusive flock held for the process lifetime is the
+        # equivalent. Kernel releases it on any death, including SIGKILL.
+        import fcntl
+        self._lockFile = open(self._root / ".lock", "w")
+        try:
+            fcntl.flock(self._lockFile, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise RuntimeError(
+                f"saveDir {self._root} is locked by another live trainer "
+                "(concurrent trainers on one saveDir corrupt checkpoints; "
+                "stop the other process first)")
+        self._lockFile.write(str(os.getpid()))
+        self._lockFile.flush()
         latest = self._root / "latest"
         if latest.exists() and any(latest.iterdir()):
             stamp = time.strftime("%Y%m%d_%H%M%S")
@@ -95,8 +114,29 @@ class Saver:
                 target = self._root / stamp
             shutil.move(str(latest), str(target))
             self._previous = target
+        else:
+            # `latest/` empty but history exists: the previous run died
+            # between Saver init (rotation) and its first save. Resume from
+            # the newest rotated checkpoint instead of silently restarting
+            # from step 0 (reference auto-resume intent, train/cli.py:31-39).
+            history = sorted((d for d in self._root.iterdir()
+                              if d.is_dir() and d.name != "latest"
+                              and (d / self.CKPT_NAME).exists()), reverse=True)
+            if history:
+                self._previous = history[0]
         latest.mkdir(parents=True, exist_ok=True)
         self._rotate()
+
+    def close(self):
+        """Release the saveDir lock (idempotent). Process death releases it
+        too; this exists so sequential in-process trainers (resume tests,
+        notebook reruns) don't trip the concurrency guard."""
+        lf = getattr(self, "_lockFile", None)
+        if lf is not None and not lf.closed:
+            lf.close()
+
+    def __del__(self):
+        self.close()
 
     @property
     def PreviousCkpt(self) -> Optional[Path]:

@@ -330,6 +330,8 @@ class Trainer:
         if prevHandler is not None:
             import signal
             signal.signal(signal.SIGTERM, prevHandler)
+        if self._saver is not None:
+            self._saver.close()  # release the saveDir lock for in-process reruns
         return self._state
 
     def validate(self, valLoader) -> dict:

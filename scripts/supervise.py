@@ -53,6 +53,19 @@ def main() -> int:
     if not cmd:
         ap.error("no command given (put it after --)")
 
+    # One supervisor per log: a second supervisor stacked on the same run
+    # doubles the trainer (observed corrupting a 20k-step run; the trainer's
+    # own saveDir flock is the second line of defense).
+    import fcntl
+    lock = open(args.log + ".lock", "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print(f"[supervise] {args.log} already supervised by another process — exiting", flush=True)
+        return 2
+    lock.write(str(os.getpid()))
+    lock.flush()
+
     restarts = 0
     while True:
         with open(args.log, "ab") as logf:
