@@ -15,6 +15,16 @@ MAX_RESTARTS=${MAX_RESTARTS:-3}
 cd "$(dirname "$0")/.."
 export PYTHONPATH=${PYTHONPATH:-$PWD}
 
+# One launcher per config: a forgotten second restart loop keeps respawning
+# trainers against the same saveDir (postmortem in NOTES.md round-4 — the
+# trainer's own saveDir flock refuses the duplicate, but the loop would
+# retry forever). flock is released on any death, including SIGKILL.
+exec 9> "${CONFIG}.launch.lock"
+if ! flock -n 9; then
+    echo "[singlenode] $CONFIG is already driven by another launcher — exiting" >&2
+    exit 2
+fi
+
 attempt=0
 while :; do
     python -m mcquic_tpu train "$@" "$CONFIG" && exit 0
