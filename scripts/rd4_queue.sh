@@ -68,7 +68,10 @@ datasets() {
 }
 
 rd_eval() { # $1 name  $2 trainer-ckpt — export deploy model + per-image RD over multieval
-  local name=$1 ckpt=$2 out=$RES/${name}_rd.json exp=$SC/rd4/exports/${name}.npz
+  # NOTE: ${name} must be referenced in a SEPARATE `local` statement — all
+  # words of one `local` command expand before any assignment lands (set -u).
+  local name=$1 ckpt=$2
+  local out=$RES/${name}_rd.json exp=$SC/rd4/exports/${name}.npz
   [ -s "$out" ] && { say "eval $name: exists — skip"; return 0; }
   mkdir -p "$SC/rd4/exports"
   say "eval $name: export + rd_sweep (per-image, multieval)"
