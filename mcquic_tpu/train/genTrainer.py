@@ -146,6 +146,23 @@ class GenTrainer:
         schedule = getSchedule(train.Schdr.Key, baseLr, train.Schdr.Params)
 
         inner = getOptimizer(optimCfg.Key, schedule, optimCfg.Params)
+        # LAMB growth-bound guard (found on hardware, round 4): LAMB's trust
+        # ratio caps each layer's update norm at lr*||w||, so tiny-init
+        # layers (the VAR-style logits head) grow at most by e^(lr*steps)
+        # over the run — the reference's a800_gen_16.yaml survives on
+        # 25k steps x 8 workers; a short single-chip run sits at uniform CE
+        # for its whole budget (scripts/gen_overfit_probe.py; the executed
+        # 3,200-step control run in docs/RD_RESULTS_r04.md §2). Warn loudly
+        # when the budget cannot grow small-init layers by even e^2.
+        if optimCfg.Key in ("Lamb", "FusedLAMB") and baseLr * train.TotalStep < 2.0:
+            logger.warning(
+                "optimizer %s with lr*totalStep = %.3g < 2: LAMB's trust "
+                "ratio grows small-init layers only ~e^(lr*steps) (x%.2f "
+                "over this run) — the logits head may stay at uniform CE "
+                "for the whole budget. Use Adam at this scale, raise lr, "
+                "or extend totalStep (docs/RD_RESULTS_r04.md §2).",
+                optimCfg.Key, baseLr * train.TotalStep,
+                float(np.exp(baseLr * train.TotalStep)))
 
         rng = jax.random.PRNGKey(SEED)
         dummyImg = jnp.zeros((max(worldSize, 1), imageSize, imageSize, 3), jnp.float32)

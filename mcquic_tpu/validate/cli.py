@@ -41,12 +41,19 @@ def main(path: Path, images, export=None, bf16: bool = False):
         logger.info("validation: %s", json.dumps(results))
         print(json.dumps(results))
 
-    encMpps, decMpps = validator.speed()
-    logger.info("speed: encode %.2f Mpps, decode %.2f Mpps", encMpps, decMpps)
-    print(json.dumps({"encodeMpps": encMpps, "decodeMpps": decMpps}))
-
+    # Export FIRST: it is pure host-side serialization and must not be lost
+    # to a speed-bench failure (the remote-compile service can 500 on the
+    # speed executable after validation already succeeded — seen live).
     if export is not None:
         final = exportModel(Path(export), variables, config.serialize(),
                             qp=str(meta.get("qp", "-1")), bf16=bf16)
         logger.info("exported deploy model to %s", final)
         print(str(final))
+
+    try:
+        encMpps, decMpps = validator.speed()
+    except Exception:
+        logger.exception("speed bench failed (eval + export above are valid)")
+    else:
+        logger.info("speed: encode %.2f Mpps, decode %.2f Mpps", encMpps, decMpps)
+        print(json.dumps({"encodeMpps": encMpps, "decodeMpps": decMpps}))

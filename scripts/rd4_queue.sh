@@ -89,16 +89,32 @@ NEON_CKPT=$SC/rd3/neon_saved/latest/saved.ckpt.npz
 run_train neon configs/rd3/neon_tokenizer.yaml "$NEON_CKPT" 20000
 rd_eval neon "$NEON_CKPT" || say "neon eval failed (non-fatal, continuing)"
 
+gen_artifacts() { # $1 name  $2 ckpt  $3 trainlog — sample grid + CE trajectory
+  local name=$1 ckpt=$2 trainlog=$3
+  local dir=$RES/${name}_samples
+  if [ ! -s "$dir/grid.png" ]; then
+    say "$name: sampling 9 classes through the generate CLI"
+    mkdir -p "$dir"
+    $ENV python -m mcquic_tpu generate -c 0,1,2,3,4,5,6,7,8 --top-k 64 "$ckpt" "$dir" \
+      && python examples/sample_grid.py "$dir" "$dir/grid.png" --cols 3 \
+      || say "$name sampling failed (non-fatal)"
+  fi
+  [ -s "$RES/${name}_trajectory.json" ] || \
+    python examples/gen_trajectory.py "$trainlog" > "$RES/${name}_trajectory.json" 2>/dev/null || true
+}
+
+# Control: the reference's FusedLAMB recipe — ran 3,200 steps to uniform CE
+# (LAMB trust-ratio vs tiny-init logits head; scripts/gen_overfit_probe.py).
+# Kept as the A-side of the optimizer finding; no sampling (uniform logits).
 GEN_CKPT=$SC/rd3/gen_saved/latest/saved.ckpt.npz
 run_train gen configs/rd3/gen_stage2.yaml "$GEN_CKPT" 3200 "" "-G"
-if [ ! -s "$RES/gen_samples/grid.png" ]; then
-  say "gen: sampling 9 classes through the generate CLI"
-  mkdir -p "$RES/gen_samples"
-  $ENV python -m mcquic_tpu generate -c 0,1,2,3,4,5,6,7,8 --top-k 64 "$GEN_CKPT" "$RES/gen_samples" \
-    && python examples/sample_grid.py "$RES/gen_samples" "$RES/gen_samples/grid.png" --cols 3 \
-    || say "gen sampling failed (non-fatal)"
+[ -s "$RES/gen_trajectory.json" ] || \
   python examples/gen_trajectory.py "$SC/gen_train.log" > "$RES/gen_trajectory.json" 2>/dev/null || true
-fi
+
+# Fixed recipe: Adam at the same lr (see configs/rd4/gen_stage2_adam.yaml).
+GEN_ADAM_CKPT=$SC/rd4/gen_adam/latest/saved.ckpt.npz
+run_train gen_adam configs/rd4/gen_stage2_adam.yaml "$GEN_ADAM_CKPT" 10000 "" "-G"
+gen_artifacts gen_adam "$GEN_ADAM_CKPT" "$SC/gen_adam_train.log"
 
 run_train rateA configs/rd4/rateA_qp2_20k.yaml "$SC/rd4/rateA/latest/saved.ckpt.npz" 20000
 rd_eval rateA "$SC/rd4/rateA/latest/saved.ckpt.npz" || true
