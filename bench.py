@@ -132,8 +132,42 @@ def calibrate() -> dict:
         _fetchBit(outBw[0])
         bestBw = min(bestBw, time.perf_counter() - t0)
     gbs = 2 * buf.size * 4 * (loops + 1) / bestBw / 1e9
+
+    # conv3x3 probe at the codec's wide-stage shape: the matmul-chain number
+    # under-reads what the codec's convs actually sustain on this attach
+    # path (round-3 measured 83-87 TF/s on the decode convs vs 64 TF/s
+    # matmul-chain in the same session), so the roofline normalization uses
+    # the conv figure.
+    ch = min(n // 32, 128) or 1
+    hw = min(n // 64, 64) or 1
+    img = jnp.asarray(np.random.default_rng(2).standard_normal((8, hw, hw, ch)),
+                      jnp.bfloat16)
+    ker = jnp.asarray(
+        np.random.default_rng(3).standard_normal((3, 3, ch, ch)) / (3 * ch ** 0.5),
+        jnp.bfloat16)
+
+    @jax.jit
+    def convLoop(x, k):
+        import jax.lax as lax
+        def body(i, y):
+            return lax.conv_general_dilated(
+                y, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return lax.fori_loop(0, loops, body, x)
+
+    outCv = jax.block_until_ready(convLoop(img, ker))
+    _fetchBit(outCv[0])
+    bestCv = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outCv = jax.block_until_ready(convLoop(img, ker))
+        _fetchBit(outCv[0])
+        bestCv = min(bestCv, time.perf_counter() - t0)
+    convTfs = 2 * 9 * ch * ch * img.shape[0] * hw * hw * loops / bestCv / 1e12
+
     del out
-    return {"bf16MatmulTFs": round(tfs, 1), "hbmCopyGBs": round(gbs, 1),
+    return {"bf16MatmulTFs": round(tfs, 1), "bf16Conv3x3TFs": round(convTfs, 1),
+            "hbmCopyGBs": round(gbs, 1),
             "note": "v5e full-rate reference: 197 bf16 TF/s, 819 GB/s"}
 
 
