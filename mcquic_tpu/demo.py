@@ -37,6 +37,17 @@ def modelsUrlBase() -> str:
     return os.environ.get("MCQUIC_MODELS_URL", "")
 
 
+def bundledZooDir() -> str:
+    """In-repo zoo directory (assets/zoo): self-trained artifacts committed
+    with the source so `-qp N` works with zero configuration / zero egress.
+    The reference ships its zoo via GitHub release downloads (demo.py:20-24);
+    a checkout-local directory is the no-egress equivalent. Env-overridable
+    for tests and for deployments that relocate the assets."""
+    default = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "assets", "zoo")
+    return os.environ.get("MCQUIC_BUNDLED_ZOO", default)
+
+
 def modelsHash() -> Dict[str, str]:
     path = os.environ.get("MCQUIC_MODELS_HASH_FILE", _HASH_FILE_DEFAULT)
     if os.path.exists(path):
@@ -65,6 +76,15 @@ def fetchZooModel(qp: int, mse: bool = False) -> Path:
             "Register artifacts with ci/update_model_hash.py or pass --local.")
     digest = hashes[key].lower()
     name = f"{key}_{digest}.mcquic.npz"
+    bundled = Path(bundledZooDir()) / name
+    if bundled.exists():
+        # committed artifact: hash-verify in place, no cache copy needed
+        actual = hashOfFile(str(bundled))
+        if not actual.startswith(digest):
+            raise RuntimeError(
+                f"Bundled zoo asset {bundled} does not match registered hash "
+                f"prefix {digest} (got {actual[:len(digest)]}).")
+        return bundled
     path = zooCacheDir() / name
     if not path.exists():
         base = modelsUrlBase()

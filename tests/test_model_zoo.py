@@ -120,3 +120,23 @@ def test_missing_sidecar_fails_loud_and_cleans_cache(zoo, monkeypatch, tmp_path)
     with pytest.raises(RuntimeError, match="sidecar"):
         demo.loadModel(qp=2)
     assert not list((tmp_path / "cacheX" / "zoo").glob("*.npz"))
+
+
+def test_bundled_zoo_dir_serves_without_url(zoo, monkeypatch, tmp_path):
+    """assets/zoo fallback: a committed artifact resolves with NO models URL
+    configured (zero-egress out-of-the-box -qp flow) and is hash-verified."""
+    tmp, assets, table = zoo
+    monkeypatch.delenv("MCQUIC_MODELS_URL", raising=False)
+    monkeypatch.setenv("MCQUIC_MODELS_HASH_FILE", str(tmp / "models_hash.json"))
+    monkeypatch.setenv("MCQUIC_BUNDLED_ZOO", str(assets))
+    monkeypatch.setenv("MCQUIC_CACHE", str(tmp_path / "cacheB"))
+    path = demo.fetchZooModel(2)
+    assert path.parent == assets, "bundled asset must be served in place"
+    # corrupt the bundled copy -> loud hash failure, not silent use
+    digest = table["qp_12_msssim"]
+    bad = assets / f"qp_12_msssim_{digest}.mcquic.npz"
+    payload = bad.read_bytes()
+    bad.write_bytes(payload[:-1] + bytes([payload[-1] ^ 1]))
+    with pytest.raises(RuntimeError, match="does not match registered hash"):
+        demo.fetchZooModel(12)
+    bad.write_bytes(payload)
