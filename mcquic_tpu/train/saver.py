@@ -82,6 +82,13 @@ class Saver:
 
     CKPT_NAME = "saved.ckpt.npz"
 
+    # Process-wide registry of held saveDir locks: resolved path -> [file, refs].
+    # flock conflicts between two fds even within one process, but the failure
+    # mode the lock exists for is two PROCESSES interleaving saves; sequential
+    # in-process Savers (save->resume tests, notebook reruns) are one owner's
+    # deliberate pattern, so they share the process's lock via refcount.
+    _held: dict = {}
+
     def __init__(self, saveDir: str, maxItems: int = 25):
         self._root = Path(saveDir)
         self._maxItems = maxItems
@@ -95,16 +102,25 @@ class Saver:
         # here an exclusive flock held for the process lifetime is the
         # equivalent. Kernel releases it on any death, including SIGKILL.
         import fcntl
-        self._lockFile = open(self._root / ".lock", "w")
-        try:
-            fcntl.flock(self._lockFile, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            raise RuntimeError(
-                f"saveDir {self._root} is locked by another live trainer "
-                "(concurrent trainers on one saveDir corrupt checkpoints; "
-                "stop the other process first)")
-        self._lockFile.write(str(os.getpid()))
-        self._lockFile.flush()
+        self._lockKey = str(self._root.resolve())
+        self._lockHeld = False
+        entry = Saver._held.get(self._lockKey)
+        if entry is not None:
+            entry[1] += 1
+        else:
+            lockFile = open(self._root / ".lock", "w")
+            try:
+                fcntl.flock(lockFile, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                lockFile.close()
+                raise RuntimeError(
+                    f"saveDir {self._root} is locked by another live trainer "
+                    "(concurrent trainers on one saveDir corrupt checkpoints; "
+                    "stop the other process first)")
+            lockFile.write(str(os.getpid()))
+            lockFile.flush()
+            Saver._held[self._lockKey] = [lockFile, 1]
+        self._lockHeld = True
         latest = self._root / "latest"
         if latest.exists() and any(latest.iterdir()):
             stamp = time.strftime("%Y%m%d_%H%M%S")
@@ -128,12 +144,20 @@ class Saver:
         self._rotate()
 
     def close(self):
-        """Release the saveDir lock (idempotent). Process death releases it
-        too; this exists so sequential in-process trainers (resume tests,
-        notebook reruns) don't trip the concurrency guard."""
-        lf = getattr(self, "_lockFile", None)
-        if lf is not None and not lf.closed:
-            lf.close()
+        """Release this Saver's share of the saveDir lock (idempotent).
+        Process death releases the underlying flock too; the refcount exists
+        so the last in-process holder closing actually frees it for other
+        processes."""
+        if not getattr(self, "_lockHeld", False):
+            return
+        self._lockHeld = False
+        entry = Saver._held.get(self._lockKey)
+        if entry is None:
+            return
+        entry[1] -= 1
+        if entry[1] <= 0:
+            entry[0].close()
+            del Saver._held[self._lockKey]
 
     def __del__(self):
         self.close()

@@ -18,14 +18,56 @@ def _writeCkpt(saver, step):
                 "params": {"w": np.zeros((2, 2), np.float32)}})
 
 
-def test_second_saver_on_same_dir_refused(tmp_path):
+def test_same_process_savers_share_the_lock(tmp_path):
+    # Sequential in-process Savers (save->resume tests, notebook reruns) are
+    # one owner's deliberate pattern — they must NOT trip the guard. The
+    # refcount keeps the flock held until the last holder closes.
     first = Saver(str(tmp_path))
-    with pytest.raises(RuntimeError, match="locked by another live trainer"):
-        Saver(str(tmp_path))
-    first.close()
-    # released lock: a new trainer may take over
-    second = Saver(str(tmp_path))
+    second = Saver(str(tmp_path))  # shares, no RuntimeError
     second.close()
+    assert Saver._held, "first holder still open -> lock still held"
+    first.close()
+    assert str(tmp_path.resolve()) not in Saver._held
+    third = Saver(str(tmp_path))
+    third.close()
+
+
+def test_foreign_process_holding_lock_is_refused(tmp_path):
+    import subprocess
+    import sys
+    import time
+
+    # A foreign process takes the lock and sleeps; our Saver must refuse.
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import sys, time\n"
+         "from mcquic_tpu.train.saver import Saver\n"
+         "s = Saver(sys.argv[1])\n"
+         "print('LOCKED', flush=True)\n"
+         "time.sleep(60)\n",
+         str(tmp_path)],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "LOCKED"
+        with pytest.raises(RuntimeError, match="locked by another live trainer"):
+            Saver(str(tmp_path))
+        # kernel releases the flock on ANY death, including SIGKILL
+        child.kill()
+        child.wait(timeout=30)
+        deadline = time.time() + 10
+        while True:
+            try:
+                s = Saver(str(tmp_path))
+                break
+            except RuntimeError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        s.close()
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait()
 
 
 def test_resume_falls_back_to_rotated_history_when_latest_empty(tmp_path):
