@@ -94,6 +94,15 @@ def subpixelMode() -> str:
     return "deconv" if jax.default_backend() in ("tpu", "axon") else "shuffle"
 
 
+def thinHeadMode() -> str:
+    """'pallas' routes thin (<32 feature) shuffle heads through the fused
+    conv+depth-to-space kernel (ops/subpixel_pallas.py); 'xla' (default)
+    keeps the lax conv path. Opt-in until measured per-chip — set
+    MCQUIC_THINHEAD=pallas."""
+    import os
+    return os.environ.get("MCQUIC_THINHEAD", "xla")
+
+
 class _UpConv(nn.Module):
     """conv(k, c*r*r) + depth-to-space, with a mode switch between the
     shuffle and transposed-conv formulations. Param tree matches nn.Conv
@@ -132,6 +141,19 @@ class _UpConv(nn.Module):
         if (subpixelMode() == "deconv" and self.groups == 1
                 and self.features >= 32):
             return subpixelConvTranspose(xc, Wc, bc, r)
+        # Thin-head Pallas path (MCQUIC_THINHEAD=pallas): the scatter-layout
+        # fused conv+shuffle kernel removes the 12->128 MXU lane pad of the
+        # final RGB stage (ops/subpixel_pallas.py; ~9x fewer padded FLOPs).
+        if (thinHeadMode() == "pallas" and self.groups == 1 and k == 3
+                and self.features < 32):
+            import jax
+
+            from mcquic_tpu.ops.subpixel_pallas import (conv3x3SubpixelThin,
+                                                        thinHeadSupported)
+            if thinHeadSupported(xc.shape, Wc.shape, r):
+                return conv3x3SubpixelThin(
+                    xc, Wc, bc, rate=r,
+                    interpret=jax.default_backend() == "cpu")
         y = lax.conv_general_dilated(
             xc, Wc, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,

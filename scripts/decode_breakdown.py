@@ -135,6 +135,20 @@ def main():
                      x * (1.0 + jnp.asarray(i, x.dtype) * 1e-3), wT, None, 2),
                  xIn)
 
+    if "thinpallas" in only:
+        # fused scatter-layout conv+D2S kernel (ops/subpixel_pallas.py):
+        # candidate replacement for thinconv, no lane pad, no XLA-side halo
+        from mcquic_tpu.ops.subpixel_pallas import conv3x3SubpixelThin
+        wThin = jax.device_put(
+            jax.random.normal(key, (3, 3, 128, 12), jnp.bfloat16) * 0.05)
+        xIn = jax.device_put(
+            jax.random.normal(key, (BATCH, H // 2, W // 2, 128), jnp.bfloat16))
+
+        timeLoop("thinpallas",
+                 lambda v, x, i: conv3x3SubpixelThin(
+                     x * (1.0 + jnp.asarray(i, x.dtype) * 1e-3), wThin, None,
+                     rate=2), xIn)
+
     if "folds2d" in only:
         # candidate: S2D(2) -> 2x2 conv 512->48 -> D2S(4), including the
         # layout move the foldconv variant omitted
