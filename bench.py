@@ -23,10 +23,13 @@ loop, decode loop (per geometry), and the calibration probe. Co-resident
 XLA executables degrade fori_loop throughput on this shared attach path
 (measured ~5% on the decode loop when the encode executable is resident, up
 to ~2x with many executables — NOTES.md); that is a tunnel artifact with no
-CUDA-event analogue, so each loop is measured clean. The decode child feeds
-the decoder uniform random codes (decoder conv cost is data-independent;
-the rANS cost, which IS distribution-dependent, is measured on real encoder
-output in the encode child). The 50 device iterations run inside ONE jitted
+CUDA-event analogue, so each loop is measured clean. The decode child's
+primary timing uses the REAL codes the encode child produced (handed over via
+a temp file), with a uniform-random run reported alongside to bound the
+distribution dependence; the rANS cost, which IS distribution-dependent, is
+measured on real encoder output in the encode child. Codes cross the
+device<->host boundary as uint16 (every k <= 8192 fits), matching the engine
+path. The 50 device iterations run inside ONE jitted
 fori_loop (so the measurement reflects chip throughput, not per-call
 dispatch latency — the reference's CUDA-event timing likewise excludes
 Python dispatch); host rANS and device<->host transfer costs are measured
@@ -251,11 +254,13 @@ def benchEncode(name: str) -> dict:
     tEncDev, lastCodes = _bestOf(jax, jnp, np, lambda: encodeLoop(applyVars, xDev))
 
     # ---- device->host code transfer (once per compress call; the engine
-    # packs all levels into ONE array -> one RPC)
+    # packs all levels into ONE uint16 array -> one RPC — every k <= 8192
+    # fits uint16, halving the dominant tunnel-transfer cost vs int32)
     @jax.jit
     def packCodes(cs):
         n = cs[0].shape[0]
-        return jnp.concatenate([c.reshape(n, -1) for c in cs], axis=1)
+        return jnp.concatenate([c.reshape(n, -1).astype(jnp.uint16) for c in cs],
+                               axis=1)
 
     packedDev = jax.block_until_ready(packCodes(lastCodes))
     packedHost = np.asarray(packedDev)  # warm
@@ -272,6 +277,12 @@ def benchEncode(name: str) -> dict:
         jax.block_until_ready(jax.device_put(packedHost))
     tXferUp = (time.perf_counter() - t0) / reps * ITERS
     codesHost = [np.asarray(c).transpose(0, 3, 1, 2) for c in lastCodes]
+
+    # hand the REAL encoder codes to the decode child (verdict r4 weak #6:
+    # bound the uniform-codes assumption by measuring decode on both)
+    codesFile = os.environ.get("MCQUIC_BENCH_CODES", "")
+    if codesFile:
+        np.savez(codesFile, **{f"code{i}": c for i, c in enumerate(codesHost)})
 
     # ---- end-to-end sanity + host rANS through the real engine
     from mcquic_tpu.models.engine import CompressorEngine
@@ -300,9 +311,10 @@ def benchEncode(name: str) -> dict:
 
 def benchDecode(name: str) -> dict:
     """Decode-phase child: device decode loop, the ONLY executable in this
-    process. Codes are uniform random (decoder conv/gather cost is
-    data-independent; rANS, which is distribution-dependent, is timed in the
-    encode child on real encoder output)."""
+    process. Primary measurement uses the encode child's REAL codes (handed
+    over via MCQUIC_BENCH_CODES); a uniform-random run is reported alongside
+    to bound the distribution dependence of the device decode cost (rANS,
+    which IS distribution-dependent, is timed in the encode child)."""
     from functools import partial
 
     jax, jnp, np, module, variables, ks, dtype, benchConfig = _buildBench(name)
@@ -312,7 +324,7 @@ def benchDecode(name: str) -> dict:
     decodeApply = partial(module.apply, method=module.decode)
 
     rngNp = np.random.default_rng(1)
-    codes = [jax.device_put(jnp.asarray(
+    uniform = [jax.device_put(jnp.asarray(
         rngNp.integers(0, kk, (BATCH, H // (16 << i), W // (16 << i), m)),
         jnp.int32)) for i, kk in enumerate(ks)]
 
@@ -321,10 +333,21 @@ def benchDecode(name: str) -> dict:
         def body(i, carry):
             shifted = [(c + i) % kk for c, kk in zip(codesDev, ks)]
             return decodeApply(vars_, shifted)
-        return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codes))
+        return jax.lax.fori_loop(0, ITERS, body, decodeApply(vars_, codesDev))
 
-    tDecDev, _ = _bestOf(jax, jnp, np, lambda: decodeLoop(applyVars, codes))
-    return {"deviceDecS": round(tDecDev, 3)}
+    tUniform, _ = _bestOf(jax, jnp, np, lambda: decodeLoop(applyVars, uniform))
+
+    codesFile = os.environ.get("MCQUIC_BENCH_CODES", "")
+    if codesFile and os.path.exists(codesFile):
+        loaded = np.load(codesFile)
+        real = [jax.device_put(jnp.asarray(
+            loaded[f"code{i}"].transpose(0, 2, 3, 1), jnp.int32))
+            for i in range(len(ks))]
+        tReal, _ = _bestOf(jax, jnp, np, lambda: decodeLoop(applyVars, real))
+        return {"deviceDecS": round(tReal, 3),
+                "deviceDecUniformS": round(tUniform, 3),
+                "codesSource": "real"}
+    return {"deviceDecS": round(tUniform, 3), "codesSource": "uniform"}
 
 
 def _runChild(mode: str, attempts: int = 3) -> dict:
@@ -355,8 +378,15 @@ def _runChild(mode: str, attempts: int = 3) -> dict:
 
 def _geometry(name: str) -> dict:
     """Assemble one geometry's metrics from its encode + decode children."""
+    import tempfile
+    codesFile = os.path.join(tempfile.gettempdir(), f"mcquic_bench_codes_{name}.npz")
+    os.environ["MCQUIC_BENCH_CODES"] = codesFile
     enc = _runChild(f"{name}:encode")
     dec = _runChild(f"{name}:decode")
+    try:
+        os.remove(codesFile)
+    except OSError:
+        pass
     _, _, _, refEnc, refDec = GEOMETRIES[name]
     refCombined = 1.0 / (1.0 / refEnc + 1.0 / refDec)
     pixels = ITERS * BATCH * H * W

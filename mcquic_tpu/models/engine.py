@@ -69,15 +69,20 @@ class CompressorEngine:
         self._coder = RansCoder(self._m, self._k)
         self.refreshFreq()
 
-        # Packed transfers: ONE flat int32 array crosses the device boundary
-        # instead of one transfer per level (each transfer is a round-trip on
-        # remote-attached TPUs).
+        # Packed transfers: ONE flat array crosses the device boundary instead
+        # of one transfer per level (each transfer is a round-trip on
+        # remote-attached TPUs). Codes are carried as uint16 whenever every
+        # codebook fits (k <= 65535 — true for every reference geometry, max
+        # k 8192): on a tunneled chip the transfer seconds dominate the
+        # round-trip, and uint16 halves the bytes at zero quality cost.
+        self._xferDtype = np.uint16 if max(self._k) <= 0xFFFF else np.int32
         self._encodePackedJit = jax.jit(self._encodePacked)
 
     def _encodePacked(self, variables, x):
         codes = self._module.apply(variables, x, method=self._module.encode)
         n = x.shape[0]
-        return jnp.concatenate([c.reshape(n, -1) for c in codes], axis=1)
+        dt = jnp.uint16 if self._xferDtype == np.uint16 else jnp.int32
+        return jnp.concatenate([c.reshape(n, -1).astype(dt) for c in codes], axis=1)
 
     # ------------------------------------------------------------- state mgmt
     @property
@@ -142,9 +147,10 @@ class CompressorEngine:
         return cache[key]
 
     def _decodeDispatch(self, codes: Sequence[np.ndarray]):
-        """Async device decode: uploads ONE packed int32 array (single
-        host->device round-trip), splits per-level on device, returns the
-        (not yet fetched) device array."""
+        """Async device decode: uploads ONE packed array (single host->device
+        round-trip, uint16 when every k fits — see __init__), splits
+        per-level and widens to int32 on device, returns the (not yet
+        fetched) device array."""
         jits = getattr(self, "_decodePackedJits", None)
         if jits is None:
             jits = self._decodePackedJits = {}
@@ -152,10 +158,11 @@ class CompressorEngine:
         shapes = tuple((c.shape[2], c.shape[3], c.shape[1]) for c in codes)  # (h,w,m)
         packed = np.concatenate(
             [np.ascontiguousarray(np.transpose(c, (0, 2, 3, 1))).reshape(n, -1)
-             for c in codes], axis=1).astype(np.int32)
+             for c in codes], axis=1).astype(self._xferDtype)
         fn = jits.get(shapes)
         if fn is None:
             def decodePacked(variables, packedArr, _shapes=shapes):
+                packedArr = packedArr.astype(jnp.int32)  # widen on device
                 nb = packedArr.shape[0]
                 lst, cur = [], 0
                 for (h, w, m) in _shapes:

@@ -150,7 +150,16 @@ class _UpConv(nn.Module):
 
             from mcquic_tpu.ops.subpixel_pallas import (conv3x3SubpixelThin,
                                                         thinHeadSupported)
-            if thinHeadSupported(xc.shape, Wc.shape, r):
+            # pallas_call has no autodiff rule and only lowers on TPU (CPU
+            # via interpret): when this head is being differentiated
+            # (stage-1 trains the decoder's RGB stage) or the backend is
+            # neither, fall through to the lax path instead of erroring.
+            differentiated = any(
+                type(t).__module__.endswith("interpreters.ad")
+                for t in (xc, Wc))
+            if (jax.default_backend() in ("tpu", "cpu")
+                    and not differentiated
+                    and thinHeadSupported(xc.shape, Wc.shape, r)):
                 return conv3x3SubpixelThin(
                     xc, Wc, bc, rate=r,
                     interpret=jax.default_backend() == "cpu")

@@ -93,3 +93,29 @@ def test_upconv_dispatch_transparent(monkeypatch):
     assert got.shape == want.shape == (2, 32, 64, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_upconv_pallas_dispatch_differentiable(monkeypatch):
+    """With MCQUIC_THINHEAD=pallas set, differentiating through the module
+    must NOT hand a pallas_call (no autodiff rule) to jax.grad — the
+    dispatch falls back to the lax path under an ad trace (stage-1 training
+    differentiates the decoder's RGB head). ADVICE r4 medium."""
+    from mcquic_tpu.nn.convs import PixelShuffleConv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 32)), jnp.float32)
+    module = PixelShuffleConv(features=3, kernel=3, rate=2)
+    variables = module.init(jax.random.PRNGKey(0), x)
+
+    def loss(vars_, inp):
+        return jnp.mean(module.apply(vars_, inp) ** 2)
+
+    monkeypatch.setenv("MCQUIC_SUBPIXEL", "shuffle")
+    monkeypatch.delenv("MCQUIC_THINHEAD", raising=False)
+    want = jax.grad(loss)(variables, x)
+    monkeypatch.setenv("MCQUIC_THINHEAD", "pallas")
+    got = jax.grad(loss)(variables, x)  # must not raise
+    wantLeaf, gotLeaf = (jax.tree.leaves(t) for t in (want, got))
+    for a, b in zip(wantLeaf, gotLeaf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
