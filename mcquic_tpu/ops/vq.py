@@ -66,12 +66,15 @@ def vqLogits(x: jax.Array, codebook: jax.Array) -> jax.Array:
 def _usePallasEncode(x: jax.Array, codebook: jax.Array) -> bool:
     import os
     if os.environ.get("MCQUIC_PALLAS") != "1":
-        # Opt-in, and measured SLOWER on current hardware: the v5e Mosaic
-        # toolchain caps tile dims at 128 (larger blocks fail layout
-        # verification), and at 128x128 tiling the fused kernel re-streams
-        # the codebook per token tile — ~100x slower than the chunked scan
-        # (202 vs 2.0 ms/iter at qp-2 level 0, 2026-08). The chunked XLA path
-        # has the same no-materialization property and is the default.
+        # Opt-in. vqEncodeFused routes to the VMEM-resident kernel for every
+        # reference geometry (the codebook streams from HBM exactly once per
+        # token tile grid, not once per tile — vq_pallas.py); measured
+        # roughly at par with the chunked XLA scan on the throttled v5e
+        # (2.36 vs 2.0 ms at qp-2 level 0, scripts/vq_probe.py), so the
+        # chunked path — same no-materialization property — stays the
+        # default. The old (T x K)-grid kernel that measured ~100x slower is
+        # no longer reachable from here (only as the too-big-for-VMEM
+        # fallback inside vqEncodeFused).
         return False
     if jax.default_backend() != "tpu":
         return False

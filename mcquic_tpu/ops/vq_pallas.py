@@ -204,9 +204,30 @@ def vqEncodeResident(x: jax.Array, codebook: jax.Array, blockT: int = 128,
     return out[:, :T]
 
 
+# Conservative VMEM budget for the resident codebook (v5e has ~16 MB/core;
+# leave headroom for the token tile, c2, and double-buffering).
+_RESIDENT_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def residentFits(m: int, k: int, d: int) -> bool:
+    """True when the fp32 codebook (+ c2) fits the resident kernel's VMEM
+    budget. Every reference geometry fits (largest: qp-2 level 0,
+    2x8192x64 fp32 = 4 MB)."""
+    kp = _roundUp(k, 128)
+    return m * kp * (d + 1) * 4 <= _RESIDENT_VMEM_BUDGET
+
+
 def vqEncodeFused(x: jax.Array, codebook: jax.Array, interpret: bool = False) -> jax.Array:
-    """Drop-in for ops.vq.vqEncode: [n,h,w,m,d] x [m,k,d] -> [n,h,w,m] int32."""
+    """Drop-in for ops.vq.vqEncode: [n,h,w,m,d] x [m,k,d] -> [n,h,w,m] int32.
+
+    Routes to the VMEM-resident kernel whenever the codebook fits (every
+    reference geometry) — the (T tiles x K tiles) grouped kernel re-streams
+    the codebook per token tile and measured ~100x slower (NOTES.md); it
+    remains only as the fallback for codebooks too large for VMEM."""
     n, h, w, m, d = x.shape
     tokens = x.reshape(n * h * w, m, d).transpose(1, 0, 2)  # [m, T, d]
-    codes = vqEncodeGrouped(tokens, codebook, interpret=interpret)  # [m, T]
+    if residentFits(m, codebook.shape[1], d):
+        codes = vqEncodeResident(tokens, codebook, interpret=interpret)
+    else:
+        codes = vqEncodeGrouped(tokens, codebook, interpret=interpret)
     return codes.transpose(1, 0).reshape(n, h, w, m)
