@@ -201,8 +201,8 @@ def _buildBench(name: str):
     x0 = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     rng = jax.random.PRNGKey(0)
     if ckptPath:
-        from mcquic_tpu.train.saver import loadTree
-        tree, _ = loadTree(ckptPath)
+        from mcquic_tpu.train.saver import loadTree, upcastBf16
+        tree = upcastBf16(loadTree(ckptPath)[0])
         variables = {"params": tree["params"], "coder": tree["coder"]}
     else:
         variables = fastInit(module, {"params": rng, "gumbel": rng}, x0,

@@ -14,12 +14,22 @@ import sys
 
 
 def loadSummary(path: str) -> dict:
+    last = None
     with open(path) as f:
         for line in f:
             row = json.loads(line)
             if "rdCurve" in row:
-                return row["rdCurve"][0]
+                curve = row["rdCurve"]
+                if len(curve) != 1:
+                    raise ValueError(
+                        f"{path}: expected a single-rate rdCurve, got "
+                        f"{len(curve)} entries — pass one file per rate "
+                        "point (this renderer emits one table block per "
+                        "model)")
+                return curve[0]
             last = row
+    if last is None:
+        raise ValueError(f"{path}: empty rd_sweep output")
     return last  # file without the rdCurve trailer: last mean row
 
 

@@ -19,7 +19,7 @@ from mcquic_tpu.config import Config
 from mcquic_tpu.container import File
 from mcquic_tpu.data.transforms import alignedCrop
 from mcquic_tpu.models.engine import CompressorEngine
-from mcquic_tpu.train.saver import loadTree
+from mcquic_tpu.train.saver import loadTree, upcastBf16
 from mcquic_tpu.utils import hashOfFile, versionCheck
 from mcquic_tpu.utils.registry import ModelRegistry
 
@@ -84,6 +84,14 @@ def fetchZooModel(qp: int, mse: bool = False) -> Path:
             raise RuntimeError(
                 f"Bundled zoo asset {bundled} does not match registered hash "
                 f"prefix {digest} (got {actual[:len(digest)]}).")
+        if not bundled.with_suffix(".json").exists():
+            # same loud, early failure as the download path — without the
+            # metadata sidecar the npz only fails later in loadModel with a
+            # less actionable error
+            raise RuntimeError(
+                f"Bundled zoo asset {bundled} lacks its metadata sidecar "
+                f"{bundled.with_suffix('.json').name}; the artifact is "
+                "incomplete — re-export it with `mcquic_tpu validate -e`.")
         return bundled
     path = zooCacheDir() / name
     if not path.exists():
@@ -129,6 +137,7 @@ def loadModel(qp: int = None, local: str = None, mse: bool = False) -> Compresso
     else:
         path = fetchZooModel(qp, mse=mse)
     tree, meta = loadTree(path)
+    tree = upcastBf16(tree)  # bf16 deploy exports serve as fp32
     if meta is None:
         raise RuntimeError(f"Model file {path} lacks metadata sidecar.")
     versionCheck(meta["version"])

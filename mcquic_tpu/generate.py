@@ -11,7 +11,7 @@ import mcquic_tpu.models.generator  # noqa: F401  (populates GeneratorRegistry)
 import mcquic_tpu.models.generator_var  # noqa: F401
 from mcquic_tpu.config import Config
 from mcquic_tpu.data.transforms import modelOutputToImage
-from mcquic_tpu.train.saver import loadTree
+from mcquic_tpu.train.saver import loadTree, upcastBf16
 from mcquic_tpu.utils.registry import GeneratorRegistry
 
 logger = logging.getLogger("mcquic_tpu.generate")
@@ -19,6 +19,7 @@ logger = logging.getLogger("mcquic_tpu.generate")
 
 def loadGenerator(path: Path):
     tree, meta = loadTree(path)
+    tree = upcastBf16(tree)  # bf16 deploy exports sample as fp32
     if meta is None or "config" not in meta:
         raise RuntimeError(f"{path} lacks config metadata")
     config = Config.deserialize(meta["config"])

@@ -24,7 +24,7 @@ from mcquic_tpu.data import augment  # module scope: holds jnp constants
 from mcquic_tpu.parallel import batchSharding, makeMesh, replicated, zeroShardings
 from mcquic_tpu.train.lrSchedulers import getSchedule
 from mcquic_tpu.train.optim import getOptimizer
-from mcquic_tpu.train.saver import Saver, loadTree
+from mcquic_tpu.train.saver import Saver, loadTree, upcastBf16
 from mcquic_tpu.train.state import TrainState
 from mcquic_tpu.utils.registry import GeneratorRegistry
 
@@ -106,6 +106,7 @@ def loadCompressorParams(ckptPath, modelParams: dict = None):
     path = Path(ckptPath)
     try:
         tree, _ = loadTree(path)
+        tree = upcastBf16(tree)  # frozen tokenizer runs fp32 in the trainer
         return tree["params"], tree.get("coder", {})
     except Exception as npzErr:
         from mcquic_tpu.utils.convert import convertNeon, loadTorchStateDict

@@ -9,7 +9,9 @@ strips training state down to `{model, config, version}`
 import json
 import os
 import shutil
+import threading
 import time
+import weakref
 from pathlib import Path
 from typing import Any, Optional
 
@@ -45,7 +47,7 @@ def saveTree(path: Path, tree: Any, meta: Optional[dict] = None):
 
     bfloat16 leaves are stored as a uint16 view under `key@bf16` — the npy
     format can't roundtrip the ml_dtypes dtype (it loads back as void16);
-    loadTree restores such keys to float32.
+    loadTree restores such keys as bfloat16.
     """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -60,6 +62,11 @@ def saveTree(path: Path, tree: Any, meta: Optional[dict] = None):
 
 
 def loadTree(path: Path):
+    """Inverse of saveTree. bf16 leaves come back as ml_dtypes.bfloat16 —
+    the dtype they were saved with — so a training checkpoint containing
+    any bf16 leaf resumes with identical dtypes (fresh vs resumed runs stay
+    numerically on the same trajectory). Inference consumers that want fp32
+    params upcast explicitly via `upcastBf16`."""
     path = Path(path)
     with np.load(str(path), allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
@@ -67,13 +74,24 @@ def loadTree(path: Path):
     if bf16Keys:
         import ml_dtypes
         for k in bf16Keys:
-            flat[k[:-len("@bf16")]] = (
-                flat.pop(k).view(ml_dtypes.bfloat16).astype(np.float32))
+            flat[k[:-len("@bf16")]] = flat.pop(k).view(ml_dtypes.bfloat16)
     meta = None
     metaPath = path.with_suffix(".json")
     if metaPath.exists():
         meta = json.loads(metaPath.read_text())
     return _unflatten(flat), meta
+
+
+def upcastBf16(tree: Any) -> Any:
+    """float32 view of every bfloat16 leaf (other leaves untouched) — the
+    explicit upcast deploy/inference loaders apply to bf16 export artifacts
+    (exportModel bf16=True); training resume keeps the saved dtypes."""
+    import ml_dtypes
+
+    def up(a):
+        a = np.asarray(a)
+        return a.astype(np.float32) if a.dtype == ml_dtypes.bfloat16 else a
+    return jax.tree_util.tree_map(up, tree)
 
 
 class Saver:
@@ -82,12 +100,15 @@ class Saver:
 
     CKPT_NAME = "saved.ckpt.npz"
 
-    # Process-wide registry of held saveDir locks: resolved path -> [file, refs].
-    # flock conflicts between two fds even within one process, but the failure
-    # mode the lock exists for is two PROCESSES interleaving saves; sequential
-    # in-process Savers (save->resume tests, notebook reruns) are one owner's
-    # deliberate pattern, so they share the process's lock via refcount.
+    # Process-wide registry of held saveDir locks:
+    # resolved path -> [lockFile, WeakSet of holder Savers]. flock conflicts
+    # between two fds even within one process, so the process keeps ONE fd
+    # per saveDir; liveness is tracked per holder — a second Saver while the
+    # first is still open is REFUSED (same interleaved-save corruption the
+    # cross-process flock exists for), while sequential Savers
+    # (save -> close -> resume, the test/notebook pattern) reuse the fd.
     _held: dict = {}
+    _heldMutex = threading.Lock()
 
     def __init__(self, saveDir: str, maxItems: int = 25):
         self._root = Path(saveDir)
@@ -104,23 +125,32 @@ class Saver:
         import fcntl
         self._lockKey = str(self._root.resolve())
         self._lockHeld = False
-        entry = Saver._held.get(self._lockKey)
-        if entry is not None:
-            entry[1] += 1
-        else:
-            lockFile = open(self._root / ".lock", "w")
-            try:
-                fcntl.flock(lockFile, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                lockFile.close()
-                raise RuntimeError(
-                    f"saveDir {self._root} is locked by another live trainer "
-                    "(concurrent trainers on one saveDir corrupt checkpoints; "
-                    "stop the other process first)")
-            lockFile.write(str(os.getpid()))
-            lockFile.flush()
-            Saver._held[self._lockKey] = [lockFile, 1]
-        self._lockHeld = True
+        with Saver._heldMutex:
+            entry = Saver._held.get(self._lockKey)
+            if entry is not None:
+                if any(s._lockHeld for s in entry[1]):
+                    raise RuntimeError(
+                        f"saveDir {self._root} is already owned by a live "
+                        "Saver in this process (close() it first — two "
+                        "concurrent trainers on one saveDir interleave saves "
+                        "and corrupt checkpoints)")
+                # previous holder was dropped without close(); the process
+                # still holds the flock fd — adopt it.
+                entry[1].add(self)
+            else:
+                lockFile = open(self._root / ".lock", "w")
+                try:
+                    fcntl.flock(lockFile, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                except OSError:
+                    lockFile.close()
+                    raise RuntimeError(
+                        f"saveDir {self._root} is locked by another live "
+                        "trainer (concurrent trainers on one saveDir corrupt "
+                        "checkpoints; stop the other process first)")
+                lockFile.write(str(os.getpid()))
+                lockFile.flush()
+                Saver._held[self._lockKey] = [lockFile, weakref.WeakSet([self])]
+            self._lockHeld = True
         latest = self._root / "latest"
         if latest.exists() and any(latest.iterdir()):
             stamp = time.strftime("%Y%m%d_%H%M%S")
@@ -144,20 +174,20 @@ class Saver:
         self._rotate()
 
     def close(self):
-        """Release this Saver's share of the saveDir lock (idempotent).
-        Process death releases the underlying flock too; the refcount exists
-        so the last in-process holder closing actually frees it for other
-        processes."""
+        """Release the saveDir lock (idempotent). Process death releases the
+        underlying flock too; closing the last live in-process holder frees
+        it for other processes."""
         if not getattr(self, "_lockHeld", False):
             return
-        self._lockHeld = False
-        entry = Saver._held.get(self._lockKey)
-        if entry is None:
-            return
-        entry[1] -= 1
-        if entry[1] <= 0:
-            entry[0].close()
-            del Saver._held[self._lockKey]
+        with Saver._heldMutex:
+            self._lockHeld = False
+            entry = Saver._held.get(self._lockKey)
+            if entry is None:
+                return
+            entry[1].discard(self)
+            if not any(s._lockHeld for s in entry[1]):
+                entry[0].close()
+                del Saver._held[self._lockKey]
 
     def __del__(self):
         self.close()
@@ -210,7 +240,7 @@ def exportModel(path: Path, variables: Any, config: dict, qp: str = "-1",
 
     `bf16=True` additionally casts float32 PARAMS to bfloat16 for a half-size
     deploy artifact (bf16 serving measured quality-free, docs/RD_RESULTS_r03.md;
-    loadTree restores them as float32). Coder tables stay exact — rANS
+    inference loaders upcast via upcastBf16). Coder tables stay exact — rANS
     frequency tables must match bit-for-bit between encoder and decoder."""
     from mcquic_tpu.utils import hashOfFile
     params = variables["params"]

@@ -12,7 +12,7 @@ from pathlib import Path
 from mcquic_tpu.config import Config
 from mcquic_tpu.data import getValLoader
 from mcquic_tpu.models.engine import CompressorEngine
-from mcquic_tpu.train.saver import exportModel, loadTree
+from mcquic_tpu.train.saver import exportModel, loadTree, upcastBf16
 from mcquic_tpu.validate.validator import Validator
 
 logger = logging.getLogger("mcquic_tpu.validate")
@@ -21,6 +21,7 @@ logger = logging.getLogger("mcquic_tpu.validate")
 def loadAnyCheckpoint(path: Path):
     """Return (variables, config) from trainer ckpt or exported model."""
     tree, meta = loadTree(path)
+    tree = upcastBf16(tree)  # bf16 deploy exports evaluate as fp32
     if meta is None or "config" not in meta:
         raise RuntimeError(f"{path} lacks config metadata")
     config = Config.deserialize(meta["config"])

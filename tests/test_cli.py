@@ -144,8 +144,9 @@ def test_multihost_bootstrap_single_process():
 
 def test_bf16_export_roundtrips_and_compresses(tmp_path):
     """bf16 deploy export: params stored as uint16 bf16 views (npy can't
-    roundtrip ml_dtypes), restored as float32 by loadTree; codec still
-    round-trips through the engine and the artifact is ~half the size."""
+    roundtrip ml_dtypes), preserved as bf16 by loadTree and upcast to
+    float32 by loadModel; codec still round-trips through the engine and
+    the artifact is ~half the size."""
     import jax
     import jax.numpy as jnp
     import numpy as np

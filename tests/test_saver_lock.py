@@ -18,18 +18,31 @@ def _writeCkpt(saver, step):
                 "params": {"w": np.zeros((2, 2), np.float32)}})
 
 
-def test_same_process_savers_share_the_lock(tmp_path):
-    # Sequential in-process Savers (save->resume tests, notebook reruns) are
-    # one owner's deliberate pattern — they must NOT trip the guard. The
-    # refcount keeps the flock held until the last holder closes.
+def test_sequential_in_process_savers_allowed_concurrent_refused(tmp_path):
+    # Sequential in-process Savers (save -> close -> resume: tests, notebook
+    # reruns) are one owner's deliberate pattern — they must NOT trip the
+    # guard. A second Saver while the first is still OPEN is the same
+    # interleaved-save corruption the cross-process flock exists for, so it
+    # is refused (ADVICE r4).
     first = Saver(str(tmp_path))
-    second = Saver(str(tmp_path))  # shares, no RuntimeError
-    second.close()
-    assert Saver._held, "first holder still open -> lock still held"
+    with pytest.raises(RuntimeError, match="already owned by a live Saver"):
+        Saver(str(tmp_path))
     first.close()
     assert str(tmp_path.resolve()) not in Saver._held
-    third = Saver(str(tmp_path))
-    third.close()
+    second = Saver(str(tmp_path))
+    second.close()
+
+
+def test_unclosed_dropped_saver_does_not_wedge_the_dir(tmp_path):
+    # A holder dropped without close() (crashed notebook cell) must not
+    # permanently wedge the saveDir for this process: once the object is
+    # collected, a new Saver adopts the process's flock fd.
+    import gc
+    s = Saver(str(tmp_path))
+    del s
+    gc.collect()
+    adopted = Saver(str(tmp_path))  # no RuntimeError
+    adopted.close()
 
 
 def test_foreign_process_holding_lock_is_refused(tmp_path):
@@ -94,3 +107,23 @@ def test_fresh_dir_has_no_resume_point(tmp_path):
     s = Saver(str(tmp_path / "new"))
     assert s.PreviousCkpt is None
     s.close()
+
+
+def test_bf16_leaves_roundtrip_dtype(tmp_path):
+    # A training checkpoint containing bf16 leaves must resume with the
+    # SAME dtypes it was saved with (ADVICE r4: the old float32 restore
+    # made fresh vs resumed runs diverge/recompile); deploy consumers
+    # upcast explicitly via upcastBf16.
+    import ml_dtypes
+
+    from mcquic_tpu.train.saver import loadTree, upcastBf16
+    tree = {"w32": np.ones((2, 2), np.float32),
+            "w16": np.ones((2, 2)).astype(ml_dtypes.bfloat16),
+            "step": np.asarray(3, np.int32)}
+    saveTree(tmp_path / "t.npz", tree)
+    got, _ = loadTree(tmp_path / "t.npz")
+    assert got["w32"].dtype == np.float32
+    assert got["w16"].dtype == ml_dtypes.bfloat16
+    assert got["step"].dtype == np.int32
+    up = upcastBf16(got)
+    assert up["w16"].dtype == np.float32 and up["step"].dtype == np.int32
