@@ -1,0 +1,109 @@
+#!/usr/bin/env bash
+# Round-5 campaign queue (verdict r4 items 3/5): serialized single-chip
+# schedule, idempotent — safe to relaunch any time; each stage skips itself
+# if its artifact already exists.
+#   0. wait for rd4 queue3 (the lpips-proxy control arm) to release the chip
+#   1. bench.py with the uint16 transfer path -> .scratch/rd5/bench_uint16.json
+#   2. neonB: cadence-1k A/B arm, 12k steps (codeUsage-vs-step evidence)
+#   3. neonA: the converged 60k Neon v2 run (cadence 3k)
+#   4. rd_eval neonA (export + per-image multieval)
+#   5. stage-2 generator retrain on neonA (10k Adam) + 9-class sample grid
+# Stage order puts the cheap A/B arm before the long run so the cadence
+# answer lands even if the wall clock eats stage 3.
+set -u
+cd "$(dirname "$0")/.."
+REPO=$PWD
+SC=$REPO/.scratch
+RES=$SC/rd5/results
+mkdir -p "$SC/rd5" "$RES"
+ENV="env PYTHONPATH=/root/.axon_site:$REPO JAX_PLATFORMS=axon MCQUIC_JAX_CACHE=$SC/jaxcache MCQUIC_SAVE_FREQ=1000"
+
+say() { echo "[rd5 $(date +%H:%M:%S)] $*"; }
+
+ckpt_step() {
+  python - "$1" <<'PYEOF' 2>/dev/null || echo 0
+import sys, zipfile, numpy as np, io
+try:
+    with zipfile.ZipFile(sys.argv[1]) as z:
+        with z.open("step.npy") as f:
+            print(int(np.load(io.BytesIO(f.read()))))
+except Exception:
+    print(0)
+PYEOF
+}
+
+train_done() { [ "$(ckpt_step "$1")" -ge "$2" ]; }
+
+wait_foreign_supervisor() {
+  while ! flock -n "$1.lock" true 2>/dev/null; do
+    say "waiting: $1 is supervised by a live foreign process"
+    sleep 60
+  done
+}
+
+run_train() { # $1 name  $2 config  $3 ckpt  $4 totalStep
+  local name=$1 cfg=$2 ckpt=$3 total=$4
+  if train_done "$ckpt" "$total"; then say "$name: already at step >= $total — skip"; return 0; fi
+  local log=$SC/${name}_train.log
+  wait_foreign_supervisor "$log"
+  if train_done "$ckpt" "$total"; then say "$name: completed by foreign run — skip"; return 0; fi
+  say "$name: launching supervised training ($cfg)"
+  python scripts/supervise.py --log "$log" --stale 900 --grace 2400 --max-restarts 10 -- \
+    $ENV python -m mcquic_tpu train -r "$cfg"
+  local rc=$?
+  if [ $rc -ne 0 ] && ! train_done "$ckpt" "$total"; then
+    say "$name: FAILED (rc=$rc, step=$(ckpt_step "$ckpt")) — aborting queue"; exit 1
+  fi
+  say "$name: done (step $(ckpt_step "$ckpt"))"
+}
+
+rd_eval() { # $1 name  $2 trainer-ckpt
+  local name=$1 ckpt=$2
+  local out=$RES/${name}_rd.json
+  [ -s "$out" ] && { say "eval $name: exists — skip"; return 0; }
+  mkdir -p "$SC/rd5/exports"
+  say "eval $name: export + rd_sweep (per-image, multieval)"
+  $ENV python -m mcquic_tpu validate -e "$SC/rd5/exports/${name}.npz" "$ckpt" "$SC/photo_ds/val" > "$RES/${name}_validate.json" || { say "eval $name: validate FAILED"; return 1; }
+  local expFile
+  expFile=$(ls -t "$SC"/rd5/exports/${name}*.npz 2>/dev/null | head -1)
+  $ENV python examples/rd_sweep.py "$SC/multieval" "$expFile" --per-image > "$out.tmp" && mv "$out.tmp" "$out" || { say "eval $name: rd_sweep FAILED"; return 1; }
+  say "eval $name: done -> $out"
+}
+
+### ---- 0. wait for rd4 queue3 ----
+while ps -eo args | grep -q "^bash scripts/rd4_queue3.sh$"; do
+  say "waiting for rd4_queue3.sh to finish"
+  sleep 120
+done
+say "chip free — starting round-5 stages"
+
+### ---- 1. bench with uint16 transfers ----
+if [ ! -s "$RES/bench_uint16.json" ]; then
+  say "bench: uint16 transfer path"
+  ( cd "$REPO" && timeout 3600 python bench.py > "$RES/bench_uint16.json.tmp" 2> "$RES/bench_uint16.err" \
+      && mv "$RES/bench_uint16.json.tmp" "$RES/bench_uint16.json" ) \
+    || say "bench FAILED (non-fatal, continuing)"
+else
+  say "bench: exists — skip"
+fi
+
+### ---- 2. cadence-1k arm (cheap, answers the cadence question early) ----
+run_train rd5_neonB configs/rd5/neon_v2_cad1k_12k.yaml "$SC/rd5/neonB/latest/saved.ckpt.npz" 12000
+
+### ---- 3. the converged 60k run ----
+run_train rd5_neonA configs/rd5/neon_v2_60k.yaml "$SC/rd5/neonA/latest/saved.ckpt.npz" 60000
+
+### ---- 4. eval ----
+rd_eval neonA "$SC/rd5/neonA/latest/saved.ckpt.npz" || say "neonA eval failed (non-fatal)"
+
+### ---- 5. stage-2 retrain on the converged tokenizer ----
+run_train rd5_gen configs/rd5/gen_stage2_neonA.yaml "$SC/rd5/gen/latest/saved.ckpt.npz" 10000
+if [ ! -d "$RES/gen_samples" ] || [ -z "$(ls -A "$RES/gen_samples" 2>/dev/null)" ]; then
+  say "sampling 9-class grid through the generate CLI"
+  mkdir -p "$RES/gen_samples"
+  $ENV python -m mcquic_tpu generate -c 0,1,2,3,4,5,6,7,8 --top-k 64 \
+    "$SC/rd5/gen/latest/saved.ckpt.npz" "$RES/gen_samples" \
+    || say "generate FAILED (non-fatal)"
+fi
+
+say "RD5 QUEUE COMPLETE"

@@ -140,3 +140,26 @@ def test_bundled_zoo_dir_serves_without_url(zoo, monkeypatch, tmp_path):
     with pytest.raises(RuntimeError, match="does not match registered hash"):
         demo.fetchZooModel(12)
     bad.write_bytes(payload)
+
+
+@pytest.mark.slow
+def test_committed_zoo_serves_qp2_end_to_end(monkeypatch, tmp_path):
+    """The REAL committed zoo (assets/zoo + mcquic_tpu/models_hash.json)
+    must serve `-qp 2` with zero configuration on a fresh checkout
+    (reference demo.py:20-24 + test-all.yml product smoke): loadModel by
+    slot, compress a real photo, restore, sane quality."""
+    from PIL import Image
+
+    for var in ("MCQUIC_MODELS_HASH_FILE", "MCQUIC_BUNDLED_ZOO",
+                "MCQUIC_MODELS_URL", "MCQUIC_CACHE"):
+        monkeypatch.delenv(var, raising=False)
+    table = demo.modelsHash()
+    assert "qp_2_msssim" in table, "committed models_hash.json lost its slots"
+    engine = demo.loadModel(qp=2)
+    img = np.asarray(Image.open(REPO / "assets" / "photo_768x512.png"))
+    x = img.astype(np.float32) / 127.5 - 1.0  # engine contract: [-1,1] NHWC
+    _, binaries, headers = engine.compress(x[None])
+    out = engine.decompress(binaries, headers)
+    mse = np.mean((np.asarray(out[0], np.float64) - x.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(4.0 / mse)  # peak-to-peak 2.0 in [-1,1]
+    assert psnr > 20.0, f"committed qp-2 artifact decodes at {psnr:.2f} dB"
