@@ -90,6 +90,10 @@ fi
 ### ---- 2. cadence-1k arm (cheap, answers the cadence question early) ----
 run_train rd5_neonB configs/rd5/neon_v2_cad1k_12k.yaml "$SC/rd5/neonB/latest/saved.ckpt.npz" 12000
 
+### ---- 2b. third v1 rate point (multi-rate RD curve needs >= 3 rates) ----
+run_train rd5_rateC configs/rd5/rateC_high_8k.yaml "$SC/rd5/rateC/latest/saved.ckpt.npz" 8000
+rd_eval rateC "$SC/rd5/rateC/latest/saved.ckpt.npz" || say "rateC eval failed (non-fatal)"
+
 ### ---- 3. the converged 60k run ----
 run_train rd5_neonA configs/rd5/neon_v2_60k.yaml "$SC/rd5/neonA/latest/saved.ckpt.npz" 60000
 
