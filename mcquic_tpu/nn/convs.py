@@ -157,7 +157,7 @@ class _UpConv(nn.Module):
             differentiated = any(
                 type(t).__module__.endswith("interpreters.ad")
                 for t in (xc, Wc))
-            if (jax.default_backend() in ("tpu", "cpu")
+            if (jax.default_backend() in ("tpu", "axon", "cpu")
                     and not differentiated
                     and thinHeadSupported(xc.shape, Wc.shape, r)):
                 return conv3x3SubpixelThin(
