@@ -87,6 +87,21 @@ else
   say "bench: exists — skip"
 fi
 
+### ---- 1b. thin-head pallas decode A/B (same fori_loop protocol) ----
+if [ ! -s "$RES/thinhead_ab.json" ]; then
+  say "probe: full-decode A/B, MCQUIC_THINHEAD default vs pallas"
+  {
+    echo '{"arm": "xla"}'
+    timeout 1200 $ENV python scripts/decode_breakdown.py full
+    echo '{"arm": "pallas"}'
+    timeout 1200 $ENV MCQUIC_THINHEAD=pallas python scripts/decode_breakdown.py full
+  } > "$RES/thinhead_ab.json.tmp" 2> "$RES/thinhead_ab.err" \
+    && mv "$RES/thinhead_ab.json.tmp" "$RES/thinhead_ab.json" \
+    || say "thinhead probe FAILED (non-fatal)"
+else
+  say "thinhead probe: exists — skip"
+fi
+
 ### ---- 2. cadence-1k arm (cheap, answers the cadence question early) ----
 run_train rd5_neonB configs/rd5/neon_v2_cad1k_12k.yaml "$SC/rd5/neonB/latest/saved.ckpt.npz" 12000
 
