@@ -1,15 +1,19 @@
 #!/usr/bin/env bash
-# Round-5 campaign queue (verdict r4 items 3/5): serialized single-chip
+# Round-5 campaign queue (verdict r4 items 1/3/5): serialized single-chip
 # schedule, idempotent — safe to relaunch any time; each stage skips itself
 # if its artifact already exists.
-#   0. wait for rd4 queue3 (the lpips-proxy control arm) to release the chip
-#   1. bench.py with the uint16 transfer path -> .scratch/rd5/bench_uint16.json
-#   2. neonB: cadence-1k A/B arm, 12k steps (codeUsage-vs-step evidence)
-#   3. neonA: the converged 60k Neon v2 run (cadence 3k)
-#   4. rd_eval neonA (export + per-image multieval)
-#   5. stage-2 generator retrain on neonA (10k Adam) + 9-class sample grid
-# Stage order puts the cheap A/B arm before the long run so the cadence
-# answer lands even if the wall clock eats stage 3.
+#   0.  rebuild datasets if the driver wiped .scratch
+#   0b. rateA10k: the lpips-proxy CONTROL arm (10k, deterministic rerun) +
+#       eval — the one §4 artifact the last session died before committing
+#   1.  bench.py with the uint16 transfer path -> .scratch/rd5/bench_uint16.json
+#   1b. thin-head pallas full-decode A/B probe
+#   2.  neonB: cadence-1k A/B arm, 12k steps (codeUsage-vs-step evidence)
+#   2b. rateC: third v1 rate point (m 4) + eval
+#   3.  neonA: the converged 60k Neon v2 run (cadence 3k)
+#   4.  rd_eval neonA (export + per-image multieval)
+#   5.  stage-2 generator retrain on neonA (10k Adam) + 9-class sample grid
+# Stage order puts cheap, doc-unblocking stages before the long run so
+# their answers land even if the wall clock eats stage 3.
 set -u
 cd "$(dirname "$0")/.."
 REPO=$PWD
@@ -76,6 +80,15 @@ while ps -eo args | grep -q "^bash scripts/rd4_queue3.sh$"; do
   sleep 120
 done
 say "chip free — starting round-5 stages"
+
+### ---- 0a. datasets (driver restarts wipe .scratch) ----
+[ -d "$SC/photo_ds/shards" ] || { say "rebuild photo_ds"; $ENV python examples/prepare_photo_dataset.py "$SC/photo_ds" || exit 1; }
+[ -d "$SC/gen_ds" ] || { say "rebuild gen_ds"; $ENV python examples/prepare_gen_dataset.py "$SC/gen_ds" || exit 1; }
+[ -d "$SC/multieval" ] || { say "rebuild multieval"; $ENV python examples/prepare_multieval.py "$SC/multieval" || exit 1; }
+
+### ---- 0b. lpips-proxy CONTROL arm (RD_RESULTS_r04 §4; deterministic rerun) ----
+run_train rateA10k configs/rd4/rateA_qp2_ctrl_10k.yaml "$SC/rd4/rateA10k/latest/saved.ckpt.npz" 10000
+rd_eval rateA10k "$SC/rd4/rateA10k/latest/saved.ckpt.npz" || say "rateA10k eval failed (non-fatal)"
 
 ### ---- 1. bench with uint16 transfers ----
 if [ ! -s "$RES/bench_uint16.json" ]; then
