@@ -18,8 +18,7 @@ import numpy as np
 import mcquic_tpu
 from mcquic_tpu.coding import RansCoder
 from mcquic_tpu.container import CodeSize, File, FileHeader, ImageSize
-from mcquic_tpu.data.transforms import (alignedPadding, centerCropTo, imageToModelInput,
-                                        modelOutputToImage)
+from mcquic_tpu.data.transforms import alignedPadding, centerCropTo
 from mcquic_tpu.models.compressor import Compressor, Neon
 
 
@@ -48,13 +47,33 @@ def _findFreqEMAs(coderState: dict) -> List[np.ndarray]:
 
 
 class CompressorEngine:
-    """Owns (module, variables); exposes compress/decompress/encode/decode."""
+    """Owns (module, variables); exposes compress/decompress/encode/decode.
 
-    def __init__(self, module, variables, qp: str = "-1", base: int = 128):
+    Pass a `jax.sharding.Mesh` to serve batches data-parallel across every
+    device on the mesh: parameters are replicated once, batches whose leading
+    dim divides the 'data' axis are sharded across it, and the same jitted
+    executables run SPMD (GSPMD partitions the convs; there is no cross-image
+    communication in a codec, so scaling is embarrassingly parallel over
+    ICI-local shards). The reference has no distributed-inference path — its
+    speed test is one GPU (`mcquic/validate/validator.py:60-97`); this is the
+    TPU-native serving story (SURVEY.md §2.3)."""
+
+    def __init__(self, module, variables, qp: str = "-1", base: int = 128,
+                 mesh=None):
         self._module = module
         self._variables = variables
         self._qp = qp
         self._base = base
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from mcquic_tpu.parallel import batchSharding, replicatedShardings
+            self._batchSharding = batchSharding(mesh)
+            self._repSharding = NamedSharding(mesh, PartitionSpec())
+            self._dataSize = int(mesh.shape["data"])
+            self._variables = jax.device_put(
+                variables, replicatedShardings(mesh, variables))
 
         if isinstance(module, Neon):
             L = len(module.size)
@@ -77,12 +96,32 @@ class CompressorEngine:
         # round-trip, and uint16 halves the bytes at zero quality cost.
         self._xferDtype = np.uint16 if max(self._k) <= 0xFFFF else np.int32
         self._encodePackedJit = jax.jit(self._encodePacked)
+        self._encodePackedU8Jit = jax.jit(self._encodePackedU8)
+
+    def _putBatch(self, arr):
+        """Place a leading-batch host array: sharded over the mesh's 'data'
+        axis when the batch divides it, replicated on the mesh otherwise
+        (correct but redundant — jit rejects mixed mesh/single placements),
+        default single-device with no mesh."""
+        if self._mesh is None:
+            return jnp.asarray(arr)
+        if arr.shape[0] % self._dataSize == 0:
+            return jax.device_put(arr, self._batchSharding)
+        return jax.device_put(arr, self._repSharding)
 
     def _encodePacked(self, variables, x):
         codes = self._module.apply(variables, x, method=self._module.encode)
         n = x.shape[0]
         dt = jnp.uint16 if self._xferDtype == np.uint16 else jnp.int32
         return jnp.concatenate([c.reshape(n, -1).astype(dt) for c in codes], axis=1)
+
+    def _encodePackedU8(self, variables, xU8):
+        # uint8 image upload: 4x fewer host->device bytes than float32 on the
+        # product path (compressImage); normalization happens on device with
+        # the exact arithmetic of transforms.imageToModelInput so the codes
+        # are identical to the float path.
+        x = (xU8.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+        return self._encodePacked(variables, x)
 
     # ------------------------------------------------------------- state mgmt
     @property
@@ -98,6 +137,10 @@ class CompressorEngine:
         return self._variables
 
     def updateVariables(self, variables):
+        if self._mesh is not None:
+            from mcquic_tpu.parallel import replicatedShardings
+            variables = jax.device_put(
+                variables, replicatedShardings(self._mesh, variables))
         self._variables = variables
         self.refreshFreq()
 
@@ -118,10 +161,22 @@ class CompressorEngine:
         return self._variables
 
     def encode(self, x: np.ndarray) -> List[np.ndarray]:
-        """float [-1,1] NHWC (pre-padding applied here) -> codes [n,m,h,w]."""
-        x = alignedPadding(np.asarray(x, np.float32), self._base)
-        n, H, W, _ = x.shape
-        packed = np.asarray(self._encodePackedJit(self._applyVars(), jnp.asarray(x)))
+        """float [-1,1] (or raw uint8) NHWC -> codes [n,m,h,w].
+
+        uint8 inputs are reflect-padded as uint8 and normalized ON DEVICE
+        (reflect-pad commutes with the affine normalize), so the upload
+        crosses the tunnel at 1 byte/px instead of 4."""
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            x = alignedPadding(x, self._base)
+            n, H, W, _ = x.shape
+            packed = np.asarray(
+                self._encodePackedU8Jit(self._applyVars(), self._putBatch(x)))
+        else:
+            x = alignedPadding(x.astype(np.float32, copy=False), self._base)
+            n, H, W, _ = x.shape
+            packed = np.asarray(
+                self._encodePackedJit(self._applyVars(), self._putBatch(x)))
         # split the flat [n, sum(h*w*m)] back into per-level [n,m,h,w]
         shapes = self._levelShapes(H, W)
         out, cur = [], 0
@@ -146,11 +201,15 @@ class CompressorEngine:
             cache[key] = [(s.shape[1], s.shape[2], s.shape[3]) for s in probe]
         return cache[key]
 
-    def _decodeDispatch(self, codes: Sequence[np.ndarray]):
+    def _decodeDispatch(self, codes: Sequence[np.ndarray], toImage: bool = False):
         """Async device decode: uploads ONE packed array (single host->device
         round-trip, uint16 when every k fits — see __init__), splits
         per-level and widens to int32 on device, returns the (not yet
-        fetched) device array."""
+        fetched) device array.
+
+        toImage=True additionally applies modelOutputToImage's exact
+        clip/round/cast ON DEVICE so the restored image downloads at
+        1 byte/px instead of 4 (the product decompressImage path)."""
         jits = getattr(self, "_decodePackedJits", None)
         if jits is None:
             jits = self._decodePackedJits = {}
@@ -159,7 +218,7 @@ class CompressorEngine:
         packed = np.concatenate(
             [np.ascontiguousarray(np.transpose(c, (0, 2, 3, 1))).reshape(n, -1)
              for c in codes], axis=1).astype(self._xferDtype)
-        fn = jits.get(shapes)
+        fn = jits.get((shapes, toImage))
         if fn is None:
             def decodePacked(variables, packedArr, _shapes=shapes):
                 packedArr = packedArr.astype(jnp.int32)  # widen on device
@@ -169,9 +228,13 @@ class CompressorEngine:
                     sz = h * w * m
                     lst.append(packedArr[:, cur:cur + sz].reshape(nb, h, w, m))
                     cur += sz
-                return self._module.apply(variables, lst, method=self._module.decode)
-            fn = jits[shapes] = jax.jit(decodePacked)
-        return fn(self._applyVars(), jnp.asarray(packed))
+                y = self._module.apply(variables, lst, method=self._module.decode)
+                if toImage:
+                    y = jnp.clip(jnp.round((y * 0.5 + 0.5) * 255.0),
+                                 0, 255).astype(jnp.uint8)
+                return y
+            fn = jits[(shapes, toImage)] = jax.jit(decodePacked)
+        return fn(self._applyVars(), self._putBatch(packed))
 
     def decode(self, codes: Sequence[np.ndarray]) -> np.ndarray:
         """codes [n,m,h,w] -> restored float NHWC (still padded)."""
@@ -244,7 +307,7 @@ class CompressorEngine:
         for x in batches:
             x = np.asarray(x, np.float32)
             padded = alignedPadding(x, self._base)
-            packedDev = self._encodePackedJit(self._applyVars(), jnp.asarray(padded))
+            packedDev = self._encodePackedJit(self._applyVars(), self._putBatch(padded))
             if pending is not None:
                 prevDev, prevPaddedHW, shape = pending
                 outQ.put((fetchSplit(prevDev, prevPaddedHW), shape))
@@ -283,12 +346,20 @@ class CompressorEngine:
 
     # -------------------------------------------------------------- wrappers
     def compressImage(self, img: np.ndarray) -> File:
-        """uint8 HWC image -> `.mcq` File (demo.py:109-122)."""
-        x = imageToModelInput(img)[None]
-        _, binaries, headers = self.compress(x)
+        """uint8 HWC image -> `.mcq` File (demo.py:109-122).
+
+        The raw uint8 image is uploaded (normalize-on-device, see encode) —
+        4x fewer tunnel bytes than the float32 upload at identical codes."""
+        _, binaries, headers = self.compress(np.asarray(img, np.uint8)[None])
         return File(headers[0], binaries[0])
 
     def decompressImage(self, file: File) -> np.ndarray:
-        """`.mcq` File -> uint8 HWC image (demo.py:125-134)."""
-        restored = self.decompress([file.Content], [file.FileHeader])
-        return modelOutputToImage(restored[0])
+        """`.mcq` File -> uint8 HWC image (demo.py:125-134).
+
+        The clip/round/uint8 conversion runs ON DEVICE (toImage decode
+        dispatch) so the restored image downloads at 1 byte/px."""
+        codes = self._coder.decompress([file.Content],
+                                       [file.FileHeader.CodeSize])
+        restored = np.asarray(self._decodeDispatch(codes, toImage=True))
+        ims = file.FileHeader.ImageSize
+        return centerCropTo(restored, ims.height, ims.width)[0]

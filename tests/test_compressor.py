@@ -169,3 +169,29 @@ def test_decompress_many_pipelined(tinyV1):
     for i, (binaries, headers) in enumerate(items):
         ref = tinyV1.decompress(binaries, headers)
         np.testing.assert_allclose(results[i], ref, atol=1e-5)
+
+
+def test_uint8_image_path_matches_float_path(tinyV1):
+    """The uint8 upload (normalize-on-device) and uint8 download
+    (clip/round/cast-on-device) product paths must be bit-identical to the
+    host-side float transforms they replace (engine.py encode/_decodeDispatch
+    toImage; 4x fewer tunnel bytes each way)."""
+    from mcquic_tpu.data.transforms import imageToModelInput, modelOutputToImage
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+
+    codesU8 = tinyV1.encode(img)
+    codesF32 = tinyV1.encode(imageToModelInput(img))
+    for a, b in zip(codesU8, codesF32):
+        np.testing.assert_array_equal(a, b)
+
+    # decode side: device uint8 conversion == host modelOutputToImage
+    devImg = np.asarray(tinyV1._decodeDispatch(codesU8, toImage=True))
+    hostImg = modelOutputToImage(tinyV1.decode(codesU8))
+    assert devImg.dtype == np.uint8
+    np.testing.assert_array_equal(devImg, hostImg)
+
+    # and the full wrapper round-trip stays shape/dtype-correct per image
+    file = tinyV1.compressImage(img[0])
+    restored = tinyV1.decompressImage(file)
+    assert restored.shape == img[0].shape and restored.dtype == np.uint8
