@@ -82,7 +82,15 @@ done
 say "chip free — starting round-5 stages"
 
 ### ---- 0a. datasets (driver restarts wipe .scratch) ----
-[ -d "$SC/photo_ds/shards" ] || { say "rebuild photo_ds"; $ENV python examples/prepare_photo_dataset.py "$SC/photo_ds" || exit 1; }
+[ -d "$SC/photo_ds/shards" ] || {
+  say "rebuild photo_ds (crops + tar shards)"
+  $ENV python examples/prepare_photo_dataset.py "$SC/photo_ds" || exit 1
+  # prepare_photo_dataset only writes crops; the trainer consumes tar shards
+  # from the dataset CLI (launching training before these exist poisons the
+  # schedule-identical control's sample order — seen live this round).
+  env JAX_PLATFORMS=cpu PYTHONPATH=$REPO python -m mcquic_tpu dataset -j 2 \
+    "$SC/photo_ds/train_imgs" "$SC/photo_ds/shards" || exit 1
+}
 [ -d "$SC/gen_ds" ] || { say "rebuild gen_ds"; $ENV python examples/prepare_gen_dataset.py "$SC/gen_ds" || exit 1; }
 [ -d "$SC/multieval" ] || { say "rebuild multieval"; $ENV python examples/prepare_multieval.py "$SC/multieval" || exit 1; }
 
