@@ -245,6 +245,13 @@ class GenTrainer:
                 "rng": np.asarray(self._state.rng)}
         self._saver.save(tree, {"config": self._config.serialize()})
 
+    def close(self):
+        """Release the saveDir lock (Saver refuses a second live in-process
+        holder; run() releases on exit — callers driving trainStep/save
+        directly must close() before constructing a successor)."""
+        if self._saver is not None:
+            self._saver.close()
+
     def tryResume(self) -> bool:
         path = self._resumePath
         if path is None or not Path(path).exists():

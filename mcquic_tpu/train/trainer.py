@@ -204,6 +204,13 @@ class Trainer:
                 "rng": np.asarray(self._state.rng)}
         self._saver.save(tree, {"config": self._config.serialize()})
 
+    def close(self):
+        """Release the saveDir lock (Saver refuses a second live in-process
+        holder; run() releases on exit — callers driving trainStep/save
+        directly must close() before constructing a successor)."""
+        if self._saver is not None:
+            self._saver.close()
+
     # ------------------------------------------------------------------ train
     def trainStep(self, batch: np.ndarray) -> dict:
         # Preserve uint8: raw loader batches must reach the jitted step as

@@ -88,7 +88,10 @@ say "chip free — starting round-5 stages"
   # prepare_photo_dataset only writes crops; the trainer consumes tar shards
   # from the dataset CLI (launching training before these exist poisons the
   # schedule-identical control's sample order — seen live this round).
-  env JAX_PLATFORMS=cpu PYTHONPATH=$REPO python -m mcquic_tpu dataset -j 2 \
+  # -j 1 EXACTLY: shard layout feeds the loader's sample order, and the
+  # committed rd4 trajectories were trained from a single-writer build
+  # (-j 2 reproducibly shifts step-200 loss 0.24718 -> 0.22276).
+  env JAX_PLATFORMS=cpu PYTHONPATH=$REPO python -m mcquic_tpu dataset -j 1 \
     "$SC/photo_ds/train_imgs" "$SC/photo_ds/shards" || exit 1
 }
 [ -d "$SC/gen_ds" ] || { say "rebuild gen_ds"; $ENV python examples/prepare_gen_dataset.py "$SC/gen_ds" || exit 1; }

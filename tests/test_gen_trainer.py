@@ -47,6 +47,7 @@ def test_gen_trainer_step_and_frozen_compressor(tmp_path):
     tBefore = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params["transformer"]))
     assert int(trainer.state.step) == 2
     trainer.save()
+    trainer.close()  # release the saveDir lock (Saver refuses live dual holders)
     # resume round-trip
     trainer2 = GenTrainer(_cfg(tmp_path), imageSize=32)
     assert trainer2.tryResume()

@@ -68,6 +68,7 @@ def test_save_and_resume(trainer):
     tr, tmp = trainer
     stepBefore = int(tr.state.step)
     tr.save()
+    tr.close()  # Saver refuses a second live in-process holder
     cfg = _tinyConfig(tmp)
     module = Compressor(channel=8, m=2, k=(16, 8))
     tr2 = Trainer(cfg, module=module, inputShape=(32, 32))
@@ -116,6 +117,7 @@ def test_trainer_orbax_backend_save_resume(tmp_path):
     tr.trainStep(batch)
     tr.save()
     tr._orbax.waitUntilFinished()
+    tr.close()  # Saver refuses a second live in-process holder
 
     tr2 = Trainer(cfg, module=module, lpipsFn=False, inputShape=(32, 32),
                   ckptBackend="orbax")
@@ -135,6 +137,7 @@ def test_input_shape_derived_from_model_geometry(tmp_path):
     neon = Neon(channel=8, k=16, size=(2, 1, 1))
     tr = Trainer(cfg, module=neon, lpipsFn=False)
     assert tr.inputSize == 32
+    tr.close()  # Saver refuses a second live in-process holder
     trV1 = Trainer(cfg, module=Compressor(channel=8, m=2, k=(16, 8)),
                    lpipsFn=False, inputShape=(32, 32))
     assert trV1.inputSize == 32
