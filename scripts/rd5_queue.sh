@@ -2,18 +2,17 @@
 # Round-5 campaign queue (verdict r4 items 1/3/5): serialized single-chip
 # schedule, idempotent — safe to relaunch any time; each stage skips itself
 # if its artifact already exists.
+# FINAL-SESSION reorder (~4h of chip left; stages sorted by value/hour):
+#   1.  bench.py with the uint16 transfer path (no dataset dependency)
 #   0.  rebuild datasets if the driver wiped .scratch
-#   0b. rateA10k: the lpips-proxy CONTROL arm (10k, deterministic rerun) +
-#       eval — the one §4 artifact the last session died before committing
-#   1.  bench.py with the uint16 transfer path -> .scratch/rd5/bench_uint16.json
+#   2b. rateC: third v1 rate point (m 4) + eval — completes the 3-rate curve
 #   1b. thin-head pallas full-decode A/B probe
 #   2.  neonB: cadence-1k A/B arm, 12k steps (codeUsage-vs-step evidence)
-#   2b. rateC: third v1 rate point (m 4) + eval
-#   3.  neonA: the converged 60k Neon v2 run (cadence 3k)
-#   4.  rd_eval neonA (export + per-image multieval)
-#   5.  stage-2 generator retrain on neonA (10k Adam) + 9-class sample grid
-# Stage order puts cheap, doc-unblocking stages before the long run so
-# their answers land even if the wall clock eats stage 3.
+#   4b. rd_eval neonB
+# DROPPED vs the original plan: rateA10k control (its §4 A/B table is
+# already committed — docs/evidence/rd4_rateA10k_*), neonA 60k + stage-2
+# retrain (a 60k Neon is 4-5h of chip at the measured 2.6 steps/s and
+# cannot fit the final session).
 set -u
 cd "$(dirname "$0")/.."
 REPO=$PWD
@@ -81,6 +80,16 @@ while ps -eo args | grep -q "^bash scripts/rd4_queue3.sh$"; do
 done
 say "chip free — starting round-5 stages"
 
+### ---- 1. bench with uint16 transfers (no dataset dependency: first) ----
+if [ ! -s "$RES/bench_uint16.json" ]; then
+  say "bench: uint16 transfer path"
+  ( cd "$REPO" && timeout 3600 python bench.py > "$RES/bench_uint16.json.tmp" 2> "$RES/bench_uint16.err" \
+      && mv "$RES/bench_uint16.json.tmp" "$RES/bench_uint16.json" ) \
+    || say "bench FAILED (non-fatal, continuing)"
+else
+  say "bench: exists — skip"
+fi
+
 ### ---- 0a. datasets (driver restarts wipe .scratch) ----
 [ -d "$SC/photo_ds/shards" ] || {
   say "rebuild photo_ds (crops + tar shards)"
@@ -97,19 +106,9 @@ say "chip free — starting round-5 stages"
 [ -d "$SC/gen_ds" ] || { say "rebuild gen_ds"; $ENV python examples/prepare_gen_dataset.py "$SC/gen_ds" || exit 1; }
 [ -d "$SC/multieval" ] || { say "rebuild multieval"; $ENV python examples/prepare_multieval.py "$SC/multieval" || exit 1; }
 
-### ---- 0b. lpips-proxy CONTROL arm (RD_RESULTS_r04 §4; deterministic rerun) ----
-run_train rateA10k configs/rd4/rateA_qp2_ctrl_10k.yaml "$SC/rd4/rateA10k/latest/saved.ckpt.npz" 10000
-rd_eval rateA10k "$SC/rd4/rateA10k/latest/saved.ckpt.npz" || say "rateA10k eval failed (non-fatal)"
-
-### ---- 1. bench with uint16 transfers ----
-if [ ! -s "$RES/bench_uint16.json" ]; then
-  say "bench: uint16 transfer path"
-  ( cd "$REPO" && timeout 3600 python bench.py > "$RES/bench_uint16.json.tmp" 2> "$RES/bench_uint16.err" \
-      && mv "$RES/bench_uint16.json.tmp" "$RES/bench_uint16.json" ) \
-    || say "bench FAILED (non-fatal, continuing)"
-else
-  say "bench: exists — skip"
-fi
+### ---- 2b. third v1 rate point (multi-rate RD curve needs >= 3 rates) ----
+run_train rd5_rateC configs/rd5/rateC_high_8k.yaml "$SC/rd5/rateC/latest/saved.ckpt.npz" 8000
+rd_eval rateC "$SC/rd5/rateC/latest/saved.ckpt.npz" || say "rateC eval failed (non-fatal)"
 
 ### ---- 1b. thin-head pallas decode A/B (same fori_loop protocol) ----
 if [ ! -s "$RES/thinhead_ab.json" ]; then
@@ -126,27 +125,10 @@ else
   say "thinhead probe: exists — skip"
 fi
 
-### ---- 2. cadence-1k arm (cheap, answers the cadence question early) ----
+### ---- 2. cadence-1k arm (answers the cadence question; budget-sized Neon) ----
 run_train rd5_neonB configs/rd5/neon_v2_cad1k_12k.yaml "$SC/rd5/neonB/latest/saved.ckpt.npz" 12000
 
-### ---- 2b. third v1 rate point (multi-rate RD curve needs >= 3 rates) ----
-run_train rd5_rateC configs/rd5/rateC_high_8k.yaml "$SC/rd5/rateC/latest/saved.ckpt.npz" 8000
-rd_eval rateC "$SC/rd5/rateC/latest/saved.ckpt.npz" || say "rateC eval failed (non-fatal)"
-
-### ---- 3. the converged 60k run ----
-run_train rd5_neonA configs/rd5/neon_v2_60k.yaml "$SC/rd5/neonA/latest/saved.ckpt.npz" 60000
-
-### ---- 4. eval ----
-rd_eval neonA "$SC/rd5/neonA/latest/saved.ckpt.npz" || say "neonA eval failed (non-fatal)"
-
-### ---- 5. stage-2 retrain on the converged tokenizer ----
-run_train rd5_gen configs/rd5/gen_stage2_neonA.yaml "$SC/rd5/gen/latest/saved.ckpt.npz" 10000
-if [ ! -d "$RES/gen_samples" ] || [ -z "$(ls -A "$RES/gen_samples" 2>/dev/null)" ]; then
-  say "sampling 9-class grid through the generate CLI"
-  mkdir -p "$RES/gen_samples"
-  $ENV python -m mcquic_tpu generate -c 0,1,2,3,4,5,6,7,8 --top-k 64 \
-    "$SC/rd5/gen/latest/saved.ckpt.npz" "$RES/gen_samples" \
-    || say "generate FAILED (non-fatal)"
-fi
+### ---- 4b. eval the cadence arm (usage + RD on the budget-sized geometry) ----
+rd_eval neonB "$SC/rd5/neonB/latest/saved.ckpt.npz" || say "neonB eval failed (non-fatal)"
 
 say "RD5 QUEUE COMPLETE"
