@@ -16,10 +16,15 @@ This kernel removes the lane tax with a scatter-style weight layout:
     padded FLOP count drops ~9x.
   * The 9 tap contributions are summed IN VMEM as statically-shifted slice
     adds (VPU) — the [T, 9F] tensor never touches HBM.
-  * The depth-to-space shuffle happens in-register before the tile is
-    written, so the kernel emits the full-resolution image layout
-    [B, r*H, r*W*F] directly (clean 128-lane tiling; the caller's final
-    reshape to [B, rH, rW, F] is metadata-only for the XLA consumer).
+  * The kernel emits the RAW conv output [B, H*W, F]; the depth-to-space
+    shuffle runs in XLA afterwards. An in-register shuffle was tried and
+    reverted: it needs a lane-splitting 5-D shape cast
+    (vector<T x F> -> vector<th x W x f x r x r>) that Mosaic's
+    infer-vector-layout rejects at product decode geometry (W 256, F 12 —
+    "unsupported shape cast", seen on hardware round 5). The XLA-side
+    shuffle touches only the thin [B, H, W, 12] tensor (~24 MB at bench
+    shapes, ~0.25 ms at HBM rate) — noise next to the ~4 ms lane tax the
+    kernel removes.
 
 Input rows stream HBM -> VMEM with manual halo DMAs (rows i*th-1 .. i*th+th),
 with the out-of-image halo rows zeroed, so SAME padding needs no XLA-side
@@ -41,7 +46,7 @@ _PAD = 128
 
 
 def _thinHeadKernel(x_ref, w_ref, b_ref, out_ref, xTile, pScr, sems, *,
-                    th: int, W: int, C: int, F: int, r: int, nH: int,
+                    th: int, W: int, C: int, F: int, nH: int,
                     outDtype):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -106,12 +111,7 @@ def _thinHeadKernel(x_ref, w_ref, b_ref, out_ref, xTile, pScr, sems, *,
         acc = acc + contrib
     # vertical edges need no mask: the out-of-image halo rows were zeroed
 
-    # ---- in-register depth-to-space, torch PixelShuffle channel order
-    # (c, sy, sx): out[y*r+sy, (x*r+sx)*f + c] = acc[y, x, c*r*r + sy*r + sx]
-    # (matches nn/functional.pixelShuffle so checkpoints stay convertible) ----
-    f = F // (r * r)
-    y = acc.astype(outDtype).reshape(th, W, f, r, r)
-    out_ref[0] = y.transpose(0, 3, 1, 4, 2).reshape(r * th, r * W * f)
+    out_ref[0] = acc.astype(outDtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "interpret", "rowTile"))
@@ -141,7 +141,7 @@ def conv3x3SubpixelThin(x, w, b, rate: int = 2, interpret: bool = False,
     if b is None:
         b = jnp.zeros((F,), jnp.float32)
 
-    kern = functools.partial(_thinHeadKernel, th=th, W=W, C=C, F=F, r=rate,
+    kern = functools.partial(_thinHeadKernel, th=th, W=W, C=C, F=F,
                              nH=nH, outDtype=x.dtype)
     out = pl.pallas_call(
         kern,
@@ -154,9 +154,9 @@ def conv3x3SubpixelThin(x, w, b, rate: int = 2, interpret: bool = False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, rate * th, rate * W * f),
+            (1, th * W, F),
             lambda bb, ii: (bb, ii, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, rate * H, rate * W * f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, F), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 2, W, C), x.dtype),
             pltpu.VMEM(((th + 2) * W + 2 * _PAD, 9 * F), jnp.float32),
@@ -164,20 +164,32 @@ def conv3x3SubpixelThin(x, w, b, rate: int = 2, interpret: bool = False,
         ],
         interpret=interpret,
     )(x, wcat.astype(x.dtype), jnp.asarray(b, jnp.float32).reshape(1, F))
-    return out.reshape(B, rate * H, rate * W, f)
+    # depth-to-space in XLA (see module docstring: the in-kernel form hits
+    # a Mosaic-unsupported lane-splitting shape cast at product geometry)
+    from mcquic_tpu.nn.functional import pixelShuffle
+    return pixelShuffle(out.reshape(B, H, W, F), rate)
 
 
 def _pickRowTile(H: int, W: int, C: int, vmemBudget: int = 10 << 20) -> int:
-    """Largest divisor of H whose tile buffers fit the VMEM budget."""
+    """Largest divisor of H whose tile buffers fit the VMEM budget.
+
+    The budget must cover not just the declared scratch but Mosaic's vector
+    STACK: the tap-sum working set (acc, contrib, col iota, mask temps) is
+    ~6 live [T, F] vectors, each lane-padded to [th*W, 128] f32 — at
+    th 32 / W 256 that alone is ~24 MB, which blew the 16 MB scoped-vmem
+    limit on hardware (round 5) while the old scratch-only estimate said
+    9 MB. Counting it keeps the pick inside the limit (th 8 at the product
+    decode geometry)."""
     best = 0
     for th in range(1, min(H, 128) + 1):
         if H % th:
             continue
         need = ((th + 2) * W * C * 4            # x tile (f32 upper bound)
-                + ((th + 2) * W + 2 * _PAD) * 128 * 4)  # padded contribs f32
+                + ((th + 2) * W + 2 * _PAD) * 128 * 4  # padded contribs f32
+                + th * W * 128 * 4 * 6)         # tap-sum vector stack
         if need <= vmemBudget:
             best = th
-    return best or 8
+    return best or 1
 
 
 def thinHeadSupported(x_shape, w_shape, rate: int) -> bool:
