@@ -40,6 +40,18 @@ def _mtime(path: str) -> float:
         return 0.0
 
 
+def allowance(stale: float, grace: float, launched: float, now: float) -> float:
+    """Silence allowance at time `now` for a process launched at `launched`.
+
+    The grace covers the whole init/compile WINDOW after (re)launch, not
+    just "no bytes yet": trainers print startup banners within seconds, and
+    gating the grace on `mtime <= launched` collapsed the allowance to
+    --stale right after the banner — a >15 min XLA compile then got
+    stall-killed in a loop (seen live round 5: two Neon launches SIGKILLed
+    at banner+~900 s while legitimately compiling)."""
+    return stale + (grace if now - launched < grace + stale else 0.0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True, help="file the run appends to; its mtime is the liveness signal")
@@ -80,10 +92,11 @@ def main() -> int:
             if rc is not None:
                 break
             mtime = _mtime(args.log)
-            silent = time.time() - max(mtime, launched)
-            allowance = args.stale + (args.grace if mtime <= launched else 0.0)
-            if silent > allowance:
-                print(f"[supervise] log silent {silent:.0f}s > {allowance:.0f}s — killing pgid {proc.pid}", flush=True)
+            now = time.time()
+            silent = now - max(mtime, launched)
+            allowed = allowance(args.stale, args.grace, launched, now)
+            if silent > allowed:
+                print(f"[supervise] log silent {silent:.0f}s > {allowed:.0f}s — killing pgid {proc.pid}", flush=True)
                 try:
                     os.killpg(proc.pid, signal.SIGKILL)
                 except ProcessLookupError:
